@@ -55,13 +55,17 @@ def _resize_matrix_np(in_size: int, out_size: int, antialias: bool) -> np.ndarra
     if in_size == out_size:
         return np.eye(in_size, dtype=np.float64)
 
-    scale = in_size / out_size
+    # torch computes source coordinates in the tensor dtype (float32 for the
+    # pipeline's images); mirror that so tap choices and fractional weights
+    # round identically.
+    scale32 = np.float32(in_size) / np.float32(out_size)
+    scale = float(scale32)
     w = np.zeros((out_size, in_size), dtype=np.float64)
 
     if antialias and scale > 1.0:
         support = scale  # triangle radius 1.0 * scale
         for i in range(out_size):
-            center = (i + 0.5) * scale
+            center = float((np.float32(i) + np.float32(0.5)) * scale32)
             xmin = max(int(center - support + 0.5), 0)
             xmax = min(int(center + support + 0.5), in_size)
             x = np.arange(xmin, xmax)
@@ -72,14 +76,15 @@ def _resize_matrix_np(in_size: int, out_size: int, antialias: bool) -> np.ndarra
             else:  # degenerate: fall back to nearest tap
                 w[i, min(int(center), in_size - 1)] = 1.0
     else:
+        i = np.arange(out_size, dtype=np.float32)
+        src = (i + np.float32(0.5)) * scale32 - np.float32(0.5)
+        x0 = np.floor(src).astype(np.int64)
+        t = (src.astype(np.float64) - x0)
         for i in range(out_size):
-            src = (i + 0.5) * scale - 0.5
-            x0 = int(np.floor(src))
-            t = src - x0
-            lo = min(max(x0, 0), in_size - 1)
-            hi = min(max(x0 + 1, 0), in_size - 1)
-            w[i, lo] += 1.0 - t
-            w[i, hi] += t
+            lo = min(max(int(x0[i]), 0), in_size - 1)
+            hi = min(max(int(x0[i]) + 1, 0), in_size - 1)
+            w[i, lo] += 1.0 - t[i]
+            w[i, hi] += t[i]
 
     return w
 

@@ -1,0 +1,32 @@
+"""Flash-attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ufm_tpu.ops.attention import _xla_attention
+from ufm_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("b,s,h,d", [(2, 130, 3, 32), (1, 256, 2, 64), (1, 100, 1, 64)])
+def test_flash_matches_xla(b, s, h, d):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+
+    scale = d**-0.5
+    ref = _xla_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale=scale, block_q=128, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_bf16():
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 140, 2, 32), dtype=jnp.bfloat16)
+    ref = _xla_attention(q, q, q, 32**-0.5).astype(jnp.float32)
+    got = flash_attention(q, q, q, interpret=True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)

@@ -1,0 +1,97 @@
+"""Shared transformer building blocks (flax.linen).
+
+These are the primitives behind both transformer stacks of the framework: the
+ViT feature encoder and the two-view info-sharing transformer (the encoder /
+info-sharing composition the reference builds from UniCeption modules,
+uniflowmatch/models/ufm.py:187-193). Compute dtype is configurable (bf16 on
+TPU for the backbone, fp32 for prediction heads); parameters are always fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ufm_tpu.ops.attention import dot_product_attention
+
+__all__ = ["Mlp", "Attention", "LayerScale", "TransformerBlock"]
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> act -> fc2."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv projection.
+
+    Routes the softmax-attention core through
+    :func:`ufm_tpu.ops.attention.dot_product_attention` (Pallas flash kernel
+    on TPU).
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, s, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, s, c)
+        return nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    """Per-channel learnable residual scaling (DINOv2-style)."""
+
+    init_value: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init_value), (x.shape[-1],))
+        return x * gamma.astype(x.dtype)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm transformer block with optional LayerScale."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layerscale_init: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = Attention(self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn")(h)
+        if self.layerscale_init is not None:
+            h = LayerScale(self.layerscale_init, name="ls1")(h)
+        x = x + h
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        if self.layerscale_init is not None:
+            h = LayerScale(self.layerscale_init, name="ls2")(h)
+        return x + h

@@ -1,0 +1,117 @@
+"""Pallas TPU flash-attention kernel.
+
+Fused softmax attention for the framework's two transformer stacks — the hot
+loops of the model (reference hot-loop ranking: SURVEY.md §3; encoder
+self-attention over ~1.1-2.3k patch tokens and the two-view info-sharing
+attention). Sequence lengths here are short enough that the full K/V for one
+(batch, head) slice fits comfortably in VMEM, so the kernel uses a
+single-pass design: each grid step loads one Q block plus the entire K/V
+slice, computes the (BLOCK_Q, S) score tile in fp32 on the MXU, applies a
+numerically-stable softmax on the VPU, and contracts with V — no online
+rescaling passes, no HBM round-trips for the score matrix.
+
+Inputs are (B, S, H, D); arbitrary S is handled by padding to the TPU lane
+multiple with key-side masking baked in statically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+_LANE = 128
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]  # (S, D)
+
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = scores * scale
+
+    s_pad = k.shape[0]
+    if valid_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < valid_len, scores, -jnp.inf)
+
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    block_q: int = 256,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Softmax attention; q/k/v are (B, S, H, D), returns (B, Sq, H, D)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def pad_to(x, m):
+        r = (-x.shape[1]) % m
+        if r:
+            x = jnp.pad(x, ((0, 0), (0, r), (0, 0), (0, 0)))
+        return x
+
+    block_q = min(block_q, max(_LANE, ((sq + _LANE - 1) // _LANE) * _LANE))
+    qp = pad_to(q, block_q)
+    kp = pad_to(k, _LANE)
+    vp = pad_to(v, _LANE)
+    sq_pad, sk_pad = qp.shape[1], kp.shape[1]
+
+    # (B, S, H, D) -> (B*H, S, D): heads become independent grid rows.
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf = fold(qp), fold(kp), fold(vp)
+    num_q_blocks = sq_pad // block_q
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, valid_len=sk),
+        grid=(b * h, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq_pad * sk_pad * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq_pad * sk_pad,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out.reshape(b, h, sq_pad, d).transpose(0, 2, 1, 3)
+    return out[:, :sq]

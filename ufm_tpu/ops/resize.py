@@ -44,16 +44,31 @@ def _triangle(t: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
-def _resize_matrix_np(in_size: int, out_size: int, antialias: bool) -> np.ndarray:
+def _resize_matrix_np(in_size: int, out_size: int, antialias: bool, align_corners: bool = False) -> np.ndarray:
     """Row-stochastic (out_size, in_size) float64 interpolation matrix.
 
     Implements the exact tap/weight rule of torch's bilinear resampling with
     half-pixel centers (``align_corners=False``); with ``antialias`` the filter
     support is widened by the downscale factor and weights renormalized, which
-    is the PIL-style convolution torch uses for ``antialias=True``.
+    is the PIL-style convolution torch uses for ``antialias=True``. With
+    ``align_corners=True`` (DPT-style upsampling) endpoints map to endpoints.
     """
     if in_size == out_size:
         return np.eye(in_size, dtype=np.float64)
+
+    if align_corners:
+        assert not antialias, "align_corners=True is only used without antialias"
+        w = np.zeros((out_size, in_size), dtype=np.float64)
+        scale32 = (np.float32(in_size) - 1) / (np.float32(out_size) - 1) if out_size > 1 else np.float32(0)
+        src = (np.arange(out_size, dtype=np.float32) * scale32)
+        x0 = np.floor(src).astype(np.int64)
+        t = src.astype(np.float64) - x0
+        for i in range(out_size):
+            lo = min(max(int(x0[i]), 0), in_size - 1)
+            hi = min(max(int(x0[i]) + 1, 0), in_size - 1)
+            w[i, lo] += 1.0 - t[i]
+            w[i, hi] += t[i]
+        return w
 
     # torch computes source coordinates in the tensor dtype (float32 for the
     # pipeline's images); mirror that so tap choices and fractional weights
@@ -97,15 +112,18 @@ def _nearest_index_np(in_size: int, out_size: int) -> np.ndarray:
     return np.minimum(idx, in_size - 1)
 
 
-def resize_matrix(in_size: int, out_size: int, antialias: bool, dtype=jnp.float32) -> jnp.ndarray:
+def resize_matrix(
+    in_size: int, out_size: int, antialias: bool, dtype=jnp.float32, align_corners: bool = False
+) -> jnp.ndarray:
     """Return the (out_size, in_size) interpolation matrix as a jnp array."""
-    return jnp.asarray(_resize_matrix_np(in_size, out_size, antialias), dtype=dtype)
+    return jnp.asarray(_resize_matrix_np(in_size, out_size, antialias, align_corners), dtype=dtype)
 
 
 def resize_hwc(
     image: jnp.ndarray,
     out_shape: Tuple[int, int],
     antialias: bool = True,
+    align_corners: bool = False,
     precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Bilinear-resize a (..., H, W, C) array to (..., H', W', C).
@@ -115,8 +133,9 @@ def resize_hwc(
     """
     h_out, w_out = int(out_shape[0]), int(out_shape[1])
     h_in, w_in = image.shape[-3], image.shape[-2]
-    wh = resize_matrix(h_in, h_out, antialias, image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32)
-    ww = resize_matrix(w_in, w_out, antialias, wh.dtype)
+    dt = image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32
+    wh = resize_matrix(h_in, h_out, antialias, dt, align_corners)
+    ww = resize_matrix(w_in, w_out, antialias, wh.dtype, align_corners)
 
     x = image.astype(wh.dtype)
     # (..., H, W, C): contract H with wh then W with ww.
@@ -129,13 +148,15 @@ def resize_chw(
     image: jnp.ndarray,
     out_shape: Tuple[int, int],
     antialias: bool = True,
+    align_corners: bool = False,
     precision=jax.lax.Precision.HIGHEST,
 ) -> jnp.ndarray:
     """Bilinear-resize a (..., C, H, W) array to (..., C, H', W')."""
     h_out, w_out = int(out_shape[0]), int(out_shape[1])
     h_in, w_in = image.shape[-2], image.shape[-1]
-    wh = resize_matrix(h_in, h_out, antialias, image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32)
-    ww = resize_matrix(w_in, w_out, antialias, wh.dtype)
+    dt = image.dtype if jnp.issubdtype(image.dtype, jnp.floating) else jnp.float32
+    wh = resize_matrix(h_in, h_out, antialias, dt, align_corners)
+    ww = resize_matrix(w_in, w_out, antialias, wh.dtype, align_corners)
 
     x = image.astype(wh.dtype)
     x = jnp.einsum("oh,...hw->...ow", wh, x, precision=precision)

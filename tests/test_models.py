@@ -1,0 +1,120 @@
+"""End-to-end model tests on tiny configs (CPU)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ufm_tpu.models import (
+    UniFlowMatch,
+    UniFlowMatchClassificationRefinement,
+    UniFlowMatchConfidence,
+    ufm_tiny_config,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_confidence_model():
+    cfg = ufm_tiny_config()
+    return UniFlowMatchConfidence.from_config(cfg)
+
+
+def test_predict_correspondences_uint8(tiny_confidence_model, rng):
+    model = tiny_confidence_model
+    src = rng.integers(0, 255, (100, 80, 3), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (100, 80, 3), dtype=np.uint8)
+
+    result = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+
+    flow = np.asarray(result.flow.flow_output)
+    assert flow.shape == (1, 2, 100, 80)
+    assert np.isfinite(flow).all()
+    covis = np.asarray(result.covisibility.mask)
+    assert covis.shape == (1, 100, 80)
+    assert (covis >= 0).all() and (covis <= 1).all()
+    cov = np.asarray(result.flow.flow_covariance)
+    assert cov.shape == (3, 100, 80) or cov.shape == (1, 3, 100, 80)
+
+
+def test_predict_float32_renormalization(tiny_confidence_model, rng):
+    model = tiny_confidence_model
+    u8 = rng.integers(0, 255, (64, 72, 3), dtype=np.uint8)
+    f32_identity = (u8.astype(np.float32) / 255.0)  # "identity" normalization
+
+    r1 = model.predict_correspondences_batched(source_image=u8, target_image=u8)
+    r2 = model.predict_correspondences_batched(
+        source_image=f32_identity, target_image=f32_identity, data_norm_type="identity"
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.flow.flow_output), np.asarray(r2.flow.flow_output), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_forward_contract(tiny_confidence_model, rng):
+    model = tiny_confidence_model
+    w, h = model.inference_resolution[0]
+    img = jnp.asarray(rng.standard_normal((2, 3, h, w)).astype(np.float32))
+    view1 = {"img": img, "instance": [0, 1], "data_norm_type": "dinov2", "symmetrized": False}
+    view2 = {"img": img, "instance": [1, 0], "data_norm_type": "dinov2", "symmetrized": False}
+    out = model.forward(view1, view2)
+    assert out.flow.flow_output.shape == (2, 2, h, w)
+    assert out.covisibility.mask.shape == (2, h, w)
+    assert out.keypoint_confidence.shape == (2, h, w)
+    assert out.flow.flow_covariance.shape == (2, 3, h, w)
+
+
+def test_symmetrized_forward_matches_plain(tiny_confidence_model, rng):
+    """(a,b),(b,a) batches encoded once must equal the unshared encoding."""
+    model = tiny_confidence_model
+    w, h = model.inference_resolution[0]
+    a = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    b = rng.standard_normal((1, 3, h, w)).astype(np.float32)
+    img1 = jnp.asarray(np.concatenate([a, b], axis=0))
+    img2 = jnp.asarray(np.concatenate([b, a], axis=0))
+
+    plain = model.forward({"img": img1, "symmetrized": False}, {"img": img2, "symmetrized": False})
+    symm = model.forward({"img": img1, "symmetrized": True}, {"img": img2, "symmetrized": True})
+    np.testing.assert_allclose(
+        np.asarray(symm.flow.flow_output), np.asarray(plain.flow.flow_output), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_parameter_groups(tiny_confidence_model):
+    groups = tiny_confidence_model.get_parameter_groups()
+    assert {"encoder", "info_sharing", "output_head", "uncertainty_head"} <= set(groups)
+
+
+def test_refinement_variant(rng):
+    cfg = ufm_tiny_config(
+        has_classification_head=True,
+        use_unet_feature=True,
+        refinement_range=3,
+    )
+    model = UniFlowMatchClassificationRefinement.from_config(cfg)
+    src = rng.integers(0, 255, (90, 70, 3), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (90, 70, 3), dtype=np.uint8)
+    result = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+    assert np.asarray(result.flow.flow_output).shape == (1, 2, 90, 70)
+
+    w, h = model.inference_resolution[0]
+    img = jnp.zeros((1, 3, h, w))
+    out = model.forward({"img": img, "symmetrized": False}, {"img": img, "symmetrized": False})
+    r = out.classification_refinement
+    assert r is not None
+    assert r.residual.shape == (1, 2, h, w)
+    assert r.log_softmax.shape == (1, h, w, 3, 3)
+
+
+def test_save_load_roundtrip(tmp_path, tiny_confidence_model, rng):
+    model = tiny_confidence_model
+    model.save_pretrained(str(tmp_path / "ckpt"))
+
+    loaded = UniFlowMatchConfidence.from_pretrained(str(tmp_path / "ckpt"))
+    src = rng.integers(0, 255, (64, 72, 3), dtype=np.uint8)
+    r1 = model.predict_correspondences_batched(source_image=src, target_image=src)
+    r2 = loaded.predict_correspondences_batched(source_image=src, target_image=src)
+    np.testing.assert_allclose(
+        np.asarray(r1.flow.flow_output), np.asarray(r2.flow.flow_output), rtol=1e-5, atol=1e-5
+    )

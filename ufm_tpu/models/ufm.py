@@ -1,0 +1,334 @@
+"""UFM model family — public API matching the reference classes.
+
+``UniFlowMatch`` / ``UniFlowMatchConfidence`` /
+``UniFlowMatchClassificationRefinement`` mirror the constructor signatures,
+``forward(view1, view2)`` contract, ``predict_correspondences_batched``,
+``from_pretrained`` / ``from_pretrained_ckpt`` and ``get_parameter_groups``
+of the reference (uniflowmatch/models/ufm.py:120-241, 356-433, 455-471,
+474-707, 710-1238), so a user of the reference can switch imports and keep
+their code.
+
+Implementation: each wrapper owns a :class:`ufm_tpu.models.network.UFMNet`
+flax module plus its parameter pytree, and compiles per-shape jitted apply
+functions on demand. Public tensors are BCHW like the reference; everything
+inside jit is channel-last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ufm_tpu.models.base import (
+    UFMClassificationRefinementOutput,
+    UFMFlowFieldOutput,
+    UFMMaskFieldOutput,
+    UFMOutputInterface,
+    UniFlowMatchModelsBase,
+)
+from ufm_tpu.models.config import UFMArchConfig
+from ufm_tpu.models.network import UFMNet, is_symmetrized
+
+__all__ = [
+    "UniFlowMatch",
+    "UniFlowMatchConfidence",
+    "UniFlowMatchClassificationRefinement",
+]
+
+
+class UniFlowMatch(UniFlowMatchModelsBase):
+    """Base model: flow (+ optional covisibility from head1 adaptors)."""
+
+    def __init__(
+        self,
+        # Encoder configurations
+        encoder_str: str = "dinov2_large",
+        encoder_kwargs: Optional[Dict[str, Any]] = None,
+        # Info sharing & output head structure
+        info_sharing_and_head_structure: str = "dual+single",
+        info_sharing_str: str = "global_attention",
+        info_sharing_kwargs: Optional[Dict[str, Any]] = None,
+        # Skip-connections (accepted for config compatibility; unused, like
+        # the reference which stores but never consumes them, ufm.py:182-184)
+        encoder_skip_connection: Optional[List[int]] = None,
+        info_sharing_skip_connection: Optional[List[int]] = None,
+        # Prediction heads & adaptors
+        head_type: str = "dpt",
+        feature_head_kwargs: Optional[Dict[str, Any]] = None,
+        adaptors_kwargs: Optional[Dict[str, Any]] = None,
+        # Pretrained weights
+        pretrained_checkpoint_path: Optional[str] = None,
+        # Inference settings
+        inference_resolution: Optional[Union[Tuple[int, int], List[Tuple[int, int]]]] = (560, 420),
+        # TPU-specific extras
+        compute_dtype: str = "bfloat16",
+        **extra_config,
+    ):
+        UniFlowMatchModelsBase.__init__(self, inference_resolution=inference_resolution)
+
+        self.config = UFMArchConfig(
+            encoder_str=encoder_str,
+            encoder_kwargs=dict(encoder_kwargs or {}),
+            info_sharing_and_head_structure=info_sharing_and_head_structure,
+            info_sharing_str=info_sharing_str,
+            info_sharing_kwargs=dict(info_sharing_kwargs or {}),
+            head_type=head_type,
+            feature_head_kwargs=dict(feature_head_kwargs or {}),
+            adaptors_kwargs=dict(adaptors_kwargs or {}),
+            inference_resolution=self.inference_resolution,
+            compute_dtype=compute_dtype,
+            **{
+                k: v
+                for k, v in extra_config.items()
+                if k in {f.name for f in dataclasses.fields(UFMArchConfig)}
+            },
+        )
+        self.encoder_skip_connection = encoder_skip_connection
+        self.info_sharing_skip_connection = info_sharing_skip_connection
+
+        self.net = UFMNet(self.config)
+        self.params: Optional[Dict[str, Any]] = None
+        self._apply_cache: Dict[Any, Any] = {}
+
+        if pretrained_checkpoint_path is not None:
+            from ufm_tpu.checkpoint import load_torch_checkpoint_into
+
+            load_torch_checkpoint_into(self, pretrained_checkpoint_path)
+
+    # ---- config/constructor plumbing ---------------------------------------
+    @classmethod
+    def from_config(cls, config: Union[UFMArchConfig, Dict[str, Any]], seed: int = 0) -> "UniFlowMatch":
+        if isinstance(config, UFMArchConfig):
+            config = config.to_dict()
+        model = cls(**config)
+        model.init_params(seed=seed)
+        return model
+
+    @classmethod
+    def from_pretrained(cls, pretrained_model_name_or_path: str, **kwargs) -> "UniFlowMatch":
+        """Load from a local directory (config.json + weights) or, when
+        network access exists, a HuggingFace Hub repo (reference contract:
+        ufm.py:120 via PyTorchModelHubMixin)."""
+        from ufm_tpu.checkpoint import load_pretrained
+
+        return load_pretrained(cls, pretrained_model_name_or_path, **kwargs)
+
+    @classmethod
+    def from_pretrained_ckpt(cls, pretrained_model_name_or_path: str, strict: bool = True, **kw) -> "UniFlowMatch":
+        """Load from a torch training checkpoint with embedded ``model_args``
+        (reference ufm.py:219-241)."""
+        from ufm_tpu.checkpoint import load_pretrained_ckpt
+
+        return load_pretrained_ckpt(cls, pretrained_model_name_or_path, strict=strict, **kw)
+
+    def save_pretrained(self, save_directory: str) -> None:
+        from ufm_tpu.checkpoint import save_pretrained
+
+        save_pretrained(self, save_directory)
+
+    # ---- parameters ---------------------------------------------------------
+    def init_params(self, seed: int = 0, batch_size: int = 1) -> None:
+        w, h = self.inference_resolution[0]
+        img = jnp.zeros((batch_size, h, w, 3), dtype=jnp.float32)
+        variables = self.net.init(jax.random.PRNGKey(seed), img, img)
+        self.params = variables["params"]
+
+    def _params_for_apply(self):
+        assert self.params is not None, (
+            "model parameters are not initialized — call init_params(), "
+            "from_pretrained(), or from_config() first"
+        )
+        return self.params
+
+    @property
+    def data_norm_type(self) -> str:
+        return self.config.encoder_kwargs.get("data_norm_type", "dinov2")
+
+    def get_parameter_groups(self) -> Dict[str, Any]:
+        """Per-submodule parameter subtrees for per-group optimizer LRs
+        (reference ufm.py:455-471)."""
+        params = self._params_for_apply()
+        groups = {
+            "encoder": params["encoder"],
+            "info_sharing": params["info_sharing"],
+            "output_head": params["head1"],
+        }
+        if "uncertainty_head" in params:
+            groups["uncertainty_head"] = params["uncertainty_head"]
+        if "classification_head" in params:
+            groups["classification_head"] = params["classification_head"]
+        if "unet_feature" in params:
+            unet_group = {"unet_feature": params["unet_feature"]}
+            for k in ("conv1", "conv2", "classification_bias"):
+                if k in params:
+                    unet_group[k] = params[k]
+            groups["unet_feature"] = unet_group
+        elif "classification_bias" in params:
+            groups["classification_head"] = {
+                "classification_head": params["classification_head"],
+                "classification_bias": params["classification_bias"],
+            }
+        return groups
+
+    # ---- forward ------------------------------------------------------------
+    def _network_fn(self):
+        net = self.net
+
+        def fn(params, img1, img2):
+            return net.apply({"params": params}, img1, img2)
+
+        return fn
+
+    def _jitted_apply(self, shape, symmetrized: bool):
+        key = (tuple(shape), symmetrized)
+        if key not in self._apply_cache:
+            net = self.net
+            self._apply_cache[key] = jax.jit(
+                lambda params, i1, i2: net.apply({"params": params}, i1, i2, symmetrized=symmetrized)
+            )
+        return self._apply_cache[key]
+
+    def __call__(self, view1: Dict[str, Any], view2: Dict[str, Any]) -> UFMOutputInterface:
+        return self.forward(view1, view2)
+
+    def forward(self, view1: Dict[str, Any], view2: Dict[str, Any]) -> UFMOutputInterface:
+        """Reference forward contract (ufm.py:356-433): views are dicts with
+        ``img`` (B, C, H, W) normalized, optional ``instance`` ids and
+        ``symmetrized`` flag. Returns :class:`UFMOutputInterface` in BCHW."""
+        img1 = jnp.transpose(jnp.asarray(view1["img"]), (0, 2, 3, 1))
+        img2 = jnp.transpose(jnp.asarray(view2["img"]), (0, 2, 3, 1))
+        symmetrized = bool(view1.get("symmetrized", False))
+
+        raw = self._jitted_apply(img1.shape, symmetrized)(self._params_for_apply(), img1, img2)
+        return self._raw_to_interface(raw)
+
+    def _raw_to_interface(self, raw: Dict[str, jnp.ndarray]) -> UFMOutputInterface:
+        result = UFMOutputInterface()
+        result.flow = UFMFlowFieldOutput(flow_output=jnp.transpose(raw["flow"], (0, 3, 1, 2)))
+        if "flow_cov" in raw:
+            result.flow.flow_covariance = jnp.transpose(raw["flow_cov"], (0, 3, 1, 2))
+            result.flow.flow_covariance_inv = jnp.transpose(raw["flow_cov_inv"], (0, 3, 1, 2))
+            result.flow.flow_covariance_log_det = raw["flow_cov_log_det"]
+        if "covis_mask" in raw:
+            result.covisibility = UFMMaskFieldOutput(mask=raw["covis_mask"], logits=raw["covis_logits"])
+        if "keypoint_confidence" in raw:
+            result.keypoint_confidence = raw["keypoint_confidence"]
+        if "refinement_residual" in raw:
+            result.classification_refinement = UFMClassificationRefinementOutput(
+                regression_flow_output=jnp.transpose(raw["flow"], (0, 3, 1, 2)),
+                residual=jnp.transpose(raw["refinement_residual"], (0, 3, 1, 2)),
+                log_softmax=raw["refinement_log_softmax"],
+                feature_map_0=jnp.transpose(raw["refinement_feature_map_0"], (0, 3, 1, 2)),
+                feature_map_1=jnp.transpose(raw["refinement_feature_map_1"], (0, 3, 1, 2)),
+            )
+        return result
+
+
+class UniFlowMatchConfidence(UniFlowMatch):
+    """UFM-Base variant: adds the uncertainty head (covariance, keypoint
+    confidence, covisibility) — reference ufm.py:474-707."""
+
+    def __init__(
+        self,
+        encoder_str: str = "dinov2_large",
+        encoder_kwargs: Optional[Dict[str, Any]] = None,
+        info_sharing_and_head_structure: str = "dual+single",
+        info_sharing_str: str = "global_attention",
+        info_sharing_kwargs: Optional[Dict[str, Any]] = None,
+        head_type: str = "dpt",
+        feature_head_kwargs: Optional[Dict[str, Any]] = None,
+        adaptors_kwargs: Optional[Dict[str, Any]] = None,
+        detach_uncertainty_head: bool = True,
+        uncertainty_head_type: str = "dpt",
+        uncertainty_head_kwargs: Optional[Dict[str, Any]] = None,
+        uncertainty_adaptors_kwargs: Optional[Dict[str, Any]] = None,
+        pretrained_backbone_checkpoint_path: Optional[str] = None,
+        pretrained_checkpoint_path: Optional[str] = None,
+        inference_resolution: Optional[Union[Tuple[int, int], List[Tuple[int, int]]]] = (560, 420),
+        **extra_config,
+    ):
+        assert pretrained_checkpoint_path is None, "Pretrained weights are not supported for now"
+        for k in ("has_uncertainty_head", "has_classification_head"):
+            extra_config.pop(k, None)
+        super().__init__(
+            encoder_str=encoder_str,
+            encoder_kwargs=encoder_kwargs,
+            info_sharing_and_head_structure=info_sharing_and_head_structure,
+            info_sharing_str=info_sharing_str,
+            info_sharing_kwargs=info_sharing_kwargs,
+            head_type=head_type,
+            feature_head_kwargs=feature_head_kwargs,
+            adaptors_kwargs=adaptors_kwargs,
+            pretrained_checkpoint_path=pretrained_backbone_checkpoint_path,
+            inference_resolution=inference_resolution,
+            has_uncertainty_head=True,
+            detach_uncertainty_head=detach_uncertainty_head,
+            uncertainty_head_type=uncertainty_head_type,
+            uncertainty_head_kwargs=dict(uncertainty_head_kwargs or {}),
+            uncertainty_adaptors_kwargs=dict(uncertainty_adaptors_kwargs or {}),
+            **extra_config,
+        )
+
+
+class UniFlowMatchClassificationRefinement(UniFlowMatch):
+    """UFM-Refine variant: adds classification-based local refinement
+    (reference ufm.py:710-1238)."""
+
+    def __init__(
+        self,
+        encoder_str: str = "dinov2_large",
+        encoder_kwargs: Optional[Dict[str, Any]] = None,
+        info_sharing_and_head_structure: str = "dual+single",
+        info_sharing_str: str = "global_attention",
+        info_sharing_kwargs: Optional[Dict[str, Any]] = None,
+        head_type: str = "dpt",
+        feature_head_kwargs: Optional[Dict[str, Any]] = None,
+        adaptors_kwargs: Optional[Dict[str, Any]] = None,
+        detach_uncertainty_head: bool = True,
+        uncertainty_head_type: str = "dpt",
+        uncertainty_head_kwargs: Optional[Dict[str, Any]] = None,
+        uncertainty_adaptors_kwargs: Optional[Dict[str, Any]] = None,
+        temperature: float = 4,
+        use_unet_feature: bool = False,
+        classification_head_type: str = "patch_mlp",
+        classification_head_kwargs: Optional[Dict[str, Any]] = None,
+        feature_combine_method: str = "conv",
+        refinement_range: int = 5,
+        pretrained_backbone_checkpoint_path: Optional[str] = None,
+        pretrained_checkpoint_path: Optional[str] = None,
+        inference_resolution: Optional[Union[Tuple[int, int], List[Tuple[int, int]]]] = (560, 420),
+        **extra_config,
+    ):
+        assert pretrained_checkpoint_path is None, "Pretrained weights are not supported for now"
+        for k in ("has_uncertainty_head", "has_classification_head"):
+            extra_config.pop(k, None)
+        has_uncertainty = bool(uncertainty_head_kwargs)
+        super().__init__(
+            encoder_str=encoder_str,
+            encoder_kwargs=encoder_kwargs,
+            info_sharing_and_head_structure=info_sharing_and_head_structure,
+            info_sharing_str=info_sharing_str,
+            info_sharing_kwargs=info_sharing_kwargs,
+            head_type=head_type,
+            feature_head_kwargs=feature_head_kwargs,
+            adaptors_kwargs=adaptors_kwargs,
+            pretrained_checkpoint_path=pretrained_backbone_checkpoint_path,
+            inference_resolution=inference_resolution,
+            has_uncertainty_head=has_uncertainty,
+            detach_uncertainty_head=detach_uncertainty_head,
+            uncertainty_head_type=uncertainty_head_type,
+            uncertainty_head_kwargs=dict(uncertainty_head_kwargs or {}),
+            uncertainty_adaptors_kwargs=dict(uncertainty_adaptors_kwargs or {}),
+            has_classification_head=True,
+            classification_head_type=classification_head_type,
+            classification_head_kwargs=dict(classification_head_kwargs or {}),
+            temperature=temperature,
+            use_unet_feature=use_unet_feature,
+            feature_combine_method=feature_combine_method,
+            refinement_range=refinement_range,
+            **extra_config,
+        )

@@ -1,0 +1,174 @@
+"""Classification-refinement ops: neighborhood sampling + 1xP² attention.
+
+Re-creates the math of the reference refinement stage
+(uniflowmatch/models/ufm.py:1041-1178): around each pixel's predicted target
+location, sample a P×P window of target-view features with *bicubic*
+interpolation (zeros padding, align_corners=False), correlate with the
+source-view feature (1×P² attention with temperature + learned bias), and
+output the attention-weighted integer-offset residual plus the log-softmax.
+
+TPU-first design — the fused path never materializes the (B, H, W, P, P, C)
+neighborhood tensor the reference builds (ufm.py:1145, 1164-1173):
+
+  score(Δ) = q · K(Δ)            with   K(Δ) = Σ_kl w_k w_l · F[x0+Δx+k, y0+Δy+l]
+
+is bilinear in the (P+3)² integer taps, so we gather each tap once, reduce it
+against q immediately (a (B,H,W) scalar per tap), and form all P² scores by
+separable 4-tap cubic combination of those scalars. Peak memory drops from
+O(B·H·W·P²·C) to O(B·H·W·(P+3)²) and the work becomes gathers + einsums that
+XLA fuses; bicubic weights are computed once per pixel (they are shared by
+the whole window — the coordinates differ by integers).
+
+All arrays channel-last; positions in pixel-index space (integer pixel
+centers), matching the reference's grid normalization which maps index c to
+sample position c exactly (ufm.py:1164-1166).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ufm_tpu.ops.grid_sample import cubic_weights, grid_sample
+
+__all__ = [
+    "base_grid",
+    "neighborhood_offsets_xy",
+    "obtain_neighborhood_features",
+    "refinement_attention",
+    "fused_refinement_attention",
+]
+
+
+def base_grid(h: int, w: int) -> jnp.ndarray:
+    """(H, W, 2) xy integer pixel grid (reference get_meshgrid_torch)."""
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    return jnp.asarray(np.stack([xs, ys], axis=-1))
+
+
+def neighborhood_offsets_xy(p: int) -> jnp.ndarray:
+    """(P, P, 2) xy offsets in reference (i, j) row-major order: entry [i, j]
+    is (j - R, i - R) — the flow-residual values V of the attention
+    (ufm.py:1149-1152, 1175-1176)."""
+    r = (p - 1) // 2
+    i, j = np.meshgrid(np.arange(p) - r, np.arange(p) - r, indexing="ij")
+    return jnp.asarray(np.stack([j, i], axis=-1).astype(np.float32))
+
+
+def obtain_neighborhood_features(
+    flow: jnp.ndarray, other_features: jnp.ndarray, local_patch: int = 5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-semantics neighborhood sampler (materializing path).
+
+    flow: (B, H, W, 2) xy; other_features: (B, H, W, C).
+    Returns (features (B, H, W, P, P, C), offsets_xy (1, 1, 1, P, P, 2)).
+    Used as the verification reference for the fused path and for API parity
+    with ufm.py:1112-1178.
+    """
+    assert local_patch % 2 == 1, "local_patch must be odd"
+    p = local_patch
+    b, h, w, _ = other_features.shape
+
+    pos = flow + base_grid(h, w)[None]  # (B, H, W, 2) xy
+    offs = neighborhood_offsets_xy(p)  # (P, P, 2)
+    coords = pos[:, :, :, None, None, :] + offs[None, None, None]  # (B,H,W,P,P,2)
+
+    # normalize to the reference grid convention: index c samples position c
+    norm = jnp.asarray([w, h], dtype=jnp.float32)
+    grid = (coords + 0.5) / norm * 2.0 - 1.0
+    feats = grid_sample(other_features, grid, mode="bicubic")
+    return feats, offs[None, None, None]
+
+
+def refinement_attention(
+    query_features: jnp.ndarray,
+    neighborhood_features: jnp.ndarray,
+    neighborhood_residual: jnp.ndarray,
+    classification_bias: jnp.ndarray,
+    temperature: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-semantics attention over sampled neighborhoods.
+
+    query_features: (B, H, W, C); neighborhood_features: (B, H, W, P, P, C);
+    neighborhood_residual: broadcastable (..., P, P, 2);
+    classification_bias: (P*P,). Returns (residual (B, H, W, 2),
+    log_softmax (B, H, W, P, P)). Port of ufm.py:1041-1095.
+    """
+    b, h, w, p, _, _ = neighborhood_features.shape
+    scores = jnp.einsum("bhwc,bhwijc->bhwij", query_features, neighborhood_features)
+    scores = scores / temperature + classification_bias.reshape(p, p)
+
+    flat = scores.reshape(b, h, w, p * p)
+    attn = jax.nn.softmax(flat, axis=-1)
+    log_softmax = jax.nn.log_softmax(flat, axis=-1).reshape(b, h, w, p, p)
+
+    offs = jnp.broadcast_to(neighborhood_residual, (1, 1, 1, p, p, 2)).reshape(1, 1, 1, p * p, 2)
+    residual = jnp.einsum("bhwk,xyzkd->bhwd", attn, offs)
+    return residual, log_softmax
+
+
+def fused_refinement_attention(
+    query_features: jnp.ndarray,
+    target_features: jnp.ndarray,
+    flow: jnp.ndarray,
+    classification_bias: jnp.ndarray,
+    temperature: float,
+    local_patch: int = 5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused sampler+attention (no neighborhood materialization).
+
+    query_features / target_features: (B, H, W, C); flow: (B, H, W, 2) xy;
+    classification_bias: (P*P,). Returns (residual (B, H, W, 2),
+    log_softmax (B, H, W, P, P)) — numerically equal to the
+    obtain_neighborhood_features + refinement_attention composition.
+    """
+    assert local_patch % 2 == 1, "local_patch must be odd"
+    p = local_patch
+    r = (p - 1) // 2
+    k = p + 3  # integer tap span per axis
+    b, h, w, c = target_features.shape
+
+    q = query_features.astype(jnp.float32)
+    f = target_features.astype(jnp.float32)
+    flat = f.reshape(b, h * w, c)
+
+    pos = flow.astype(jnp.float32) + base_grid(h, w)[None]
+    x0 = jnp.floor(pos[..., 0])
+    y0 = jnp.floor(pos[..., 1])
+    tx = pos[..., 0] - x0
+    ty = pos[..., 1] - y0
+    x_base = x0.astype(jnp.int32) - r - 1  # leftmost integer tap
+    y_base = y0.astype(jnp.int32) - r - 1
+
+    wx = jnp.stack(cubic_weights(tx), axis=-1)  # (B, H, W, 4)
+    wy = jnp.stack(cubic_weights(ty), axis=-1)
+
+    # q · F[tap] for every integer tap of the (P+3)^2 window, zero padded.
+    u = jnp.arange(k, dtype=jnp.int32)
+    ix = x_base[..., None] + u  # (B, H, W, K)
+    iy = y_base[..., None] + u
+    valid = ((ix >= 0) & (ix < w))[:, :, :, None, :] & ((iy >= 0) & (iy < h))[:, :, :, :, None]
+    lin = jnp.clip(iy, 0, h - 1)[:, :, :, :, None] * w + jnp.clip(ix, 0, w - 1)[:, :, :, None, :]
+
+    taps = jnp.take_along_axis(flat, lin.reshape(b, -1)[..., None], axis=1)
+    taps = taps.reshape(b, h, w, k, k, c)
+    dots = jnp.einsum("bhwc,bhwvuc->bhwvu", q, taps)  # (B, H, W, Ky, Kx)
+    dots = jnp.where(valid, dots, 0.0)
+
+    # separable cubic combination: scores[i, j] = Σ_l Σ_m wy[l] wx[m] dots[i+l, j+m]
+    # combine x first: (B,H,W,Ky,Kx) -> (B,H,W,Ky,P)
+    sx = sum(wx[..., None, m, None] * jax.lax.dynamic_slice_in_dim(dots, m, p, axis=4) for m in range(4))
+    # then y: -> (B,H,W,P,P) indexed [i, j] = (row offset i-R, col offset j-R)
+    scores = sum(wy[..., l, None, None] * jax.lax.dynamic_slice_in_dim(sx, l, p, axis=3) for l in range(4))
+
+    scores = scores / temperature + classification_bias.reshape(p, p)
+    flat_scores = scores.reshape(b, h, w, p * p)
+    attn = jax.nn.softmax(flat_scores, axis=-1)
+    log_softmax = jax.nn.log_softmax(flat_scores, axis=-1).reshape(b, h, w, p, p)
+
+    offs = neighborhood_offsets_xy(p).reshape(p * p, 2)
+    residual = attn @ offs
+    return residual, log_softmax

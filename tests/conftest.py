@@ -1,14 +1,21 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
-Must set the platform flags before jax is imported anywhere.
+The session environment pins an experimental TPU platform via sitecustomize,
+which initializes JAX config at interpreter start — env vars alone cannot
+override it. Setting XLA_FLAGS before the CPU backend is created and then
+updating the jax config does.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins the TPU platform; tests always run CPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on CPU"
 
 import numpy as np
 import pytest

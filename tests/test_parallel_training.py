@@ -1,0 +1,63 @@
+"""Sharded training-step tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ufm_tpu.models import UFMNet, ufm_tiny_config
+from ufm_tpu.parallel import make_mesh, shard_params
+from ufm_tpu.training import make_optimizer, make_sharded_train_step, synthetic_batch
+
+
+@pytest.fixture(scope="module")
+def tiny_net_and_params():
+    cfg = ufm_tiny_config()
+    net = UFMNet(cfg)
+    import jax.numpy as jnp
+
+    w, h = (56, 42)
+    img = jnp.zeros((2, h, w, 3))
+    params = net.init(jax.random.PRNGKey(0), img, img)["params"]
+    return net, params
+
+
+def test_mesh_creation():
+    assert jax.device_count() == 8, "conftest must force 8 virtual CPU devices"
+    mesh = make_mesh(8, data=2, fsdp=2, model=2)
+    assert mesh.shape == {"data": 2, "fsdp": 2, "model": 2}
+
+
+def test_shard_params_specs(tiny_net_and_params):
+    _, params = tiny_net_and_params
+    mesh = make_mesh(8, data=2, fsdp=2, model=2)
+    shardings, placed = shard_params(params, mesh)
+    # qkv kernels must be column-parallel on the model axis
+    qkv = shardings["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.spec), f"qkv not tensor-parallel: {qkv.spec}"
+    # placed params keep values
+    np.testing.assert_allclose(
+        np.asarray(placed["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+    )
+
+
+def test_sharded_train_step_runs(tiny_net_and_params):
+    net, params = tiny_net_and_params
+    mesh = make_mesh(8, data=2, fsdp=2, model=2)
+
+    optimizer = make_optimizer(params, learning_rate=1e-3, warmup_steps=0)
+    step, placed_params, opt_state, place_batch = make_sharded_train_step(
+        net.apply, optimizer, mesh, params
+    )
+
+    batch = place_batch(synthetic_batch(2, 42, 56))
+    with mesh:
+        new_params, new_opt_state, metrics = step(placed_params, opt_state, batch)
+
+    loss = float(metrics["total_loss"])
+    assert np.isfinite(loss)
+    assert float(metrics["epe"]) > 0
+    # params must actually change
+    before = np.asarray(params["head1"]["processor"]["conv3"]["kernel"])
+    after = np.asarray(new_params["head1"]["processor"]["conv3"]["kernel"])
+    assert not np.allclose(before, after)

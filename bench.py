@@ -1,0 +1,119 @@
+"""Benchmark: image-pair throughput + latency of the flagship model on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...extras}
+
+Primary metric: image pairs/sec/chip through the full network forward
+(ViT-L/14 encoder on both views + dual-view global attention + DPT flow head
++ DPT uncertainty head) at the model's native 560x420 resolution, bf16
+backbone / fp32 heads — the hot path of the reference's
+``predict_correspondences_batched`` (reference base.py:269-274).
+
+Methodology notes for this environment: the TPU is reached through a tunnel
+whose per-dispatch overhead is ~36 ms and whose ``block_until_ready`` does
+not block, so throughput is measured by scanning N forwards inside ONE jitted
+computation (device-resident inputs) and syncing on a scalar fetch; batch-1
+latency is measured per-dispatch (and therefore includes the tunnel
+round-trip — an upper bound on on-host latency).
+
+``vs_baseline`` compares against a measured PyTorch-CPU reference throughput
+when available in bench_baseline.json (the reference repo publishes no
+numbers and its network library is not in the snapshot — BASELINE.md; the
+local baseline is produced by bench_torch_baseline.py, an equivalent
+architecture in plain torch on this host's CPU).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import UniFlowMatchConfidence, ufm_base_config
+
+    batch = int(os.environ.get("UFM_BENCH_BATCH", "8"))
+    inner_iters = int(os.environ.get("UFM_BENCH_ITERS", "10"))
+
+    model = UniFlowMatchConfidence.from_config(ufm_base_config())
+    w, h = model.inference_resolution[0]
+    net = model.net
+    params = model.params
+
+    rng = np.random.default_rng(0)
+    img1 = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
+
+    def one_forward(p, i1, i2):
+        out = net.apply({"params": p}, i1, i2)
+        return jnp.mean(out["flow"]) + jnp.mean(out["covis_mask"])
+
+    @jax.jit
+    def scan_forwards(p, i1, i2):
+        def body(carry, _):
+            # data-dependent perturbation prevents CSE across iterations
+            return carry + one_forward(p, i1 + carry * 1e-12, i2), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner_iters)
+        return acc
+
+    single = jax.jit(one_forward)
+
+    def sync(x):
+        return float(np.asarray(x))
+
+    # compile + warmup
+    sync(scan_forwards(params, img1, img2))
+    sync(single(params, img1[:1], img2[:1]))
+
+    # throughput: one dispatch, inner_iters forwards
+    t0 = time.perf_counter()
+    acc = scan_forwards(params, img1, img2)
+    sync(acc)
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch * inner_iters / dt
+
+    # batch-1 latency per dispatch (includes tunnel round trip)
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        sync(single(params, img1[:1], img2[:1]))
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    vs_baseline = None
+    baseline_info = {}
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline_info = json.load(f)
+        base = baseline_info.get("torch_cpu_pairs_per_sec")
+        if base:
+            vs_baseline = pairs_per_sec / base
+
+    print(
+        json.dumps(
+            {
+                "metric": "image_pairs_per_sec_per_chip_560x420",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "p50_latency_ms_batch1": round(p50_ms, 2),
+                "batch": batch,
+                "inner_iters": inner_iters,
+                "device": str(jax.devices()[0]),
+                "baseline_pairs_per_sec_torch_cpu": baseline_info.get("torch_cpu_pairs_per_sec"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -134,7 +134,8 @@ class UniFlowMatch(UniFlowMatchModelsBase):
     def init_params(self, seed: int = 0, batch_size: int = 1) -> None:
         w, h = self.inference_resolution[0]
         img = jnp.zeros((batch_size, h, w, 3), dtype=jnp.float32)
-        variables = self.net.init(jax.random.PRNGKey(seed), img, img)
+        # jit the init: one dispatch instead of thousands of eager ops
+        variables = jax.jit(self.net.init)(jax.random.PRNGKey(seed), img, img)
         self.params = variables["params"]
 
     def _params_for_apply(self):

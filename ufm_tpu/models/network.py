@@ -191,11 +191,16 @@ class UFMNet(nn.Module):
         c = self.cfg
         shape1 = (img1.shape[1], img1.shape[2])
 
-        feat1_list, feat2_list = self._encode_symmetrized(img1, img2, symmetrized)
+        # jax.named_scope annotations surface the stage boundaries in
+        # jax.profiler traces and HLO metadata (the tracing hook the
+        # reference lacks entirely; SURVEY.md §5).
+        with jax.named_scope("encoder"):
+            feat1_list, feat2_list = self._encode_symmetrized(img1, img2, symmetrized)
 
-        final, intermediates = self.info_sharing(
-            MultiViewTransformerInput(features=[feat1_list[-1], feat2_list[-1]])
-        )
+        with jax.named_scope("info_sharing"):
+            final, intermediates = self.info_sharing(
+                MultiViewTransformerInput(features=[feat1_list[-1], feat2_list[-1]])
+            )
 
         def pyramid(view: int) -> List[jnp.ndarray]:
             enc_last = feat1_list[-1] if view == 0 else feat2_list[-1]
@@ -209,9 +214,10 @@ class UFMNet(nn.Module):
         pyr1 = pyramid(0)
         out: Dict[str, jnp.ndarray] = {}
 
-        head1_out = self._head1_adaptors(
-            self.head1(PredictionHeadLayeredInput(list_features=pyr1, target_output_shape=shape1))
-        )
+        with jax.named_scope("head1"):
+            head1_out = self._head1_adaptors(
+                self.head1(PredictionHeadLayeredInput(list_features=pyr1, target_output_shape=shape1))
+            )
 
         flow = head1_out["flow"].value  # (B, H, W, 2)
 
@@ -225,9 +231,12 @@ class UFMNet(nn.Module):
 
         if c.has_uncertainty_head:
             pyr_unc = [jax.lax.stop_gradient(f) for f in pyr1] if c.detach_uncertainty_head else pyr1
-            unc_out = self._uncertainty_adaptors(
-                self.uncertainty_head(PredictionHeadLayeredInput(list_features=pyr_unc, target_output_shape=shape1))
-            )
+            with jax.named_scope("uncertainty_head"):
+                unc_out = self._uncertainty_adaptors(
+                    self.uncertainty_head(
+                        PredictionHeadLayeredInput(list_features=pyr_unc, target_output_shape=shape1)
+                    )
+                )
             if "flow_cov" in unc_out:
                 out["flow_cov"] = unc_out["flow_cov"].covariance
                 out["flow_cov_inv"] = unc_out["flow_cov"].inv_covariance
@@ -261,14 +270,15 @@ class UFMNet(nn.Module):
             b = img1.shape[0]
             cls_feat_0, cls_feat_1 = cls_features[:b], cls_features[b:]
 
-            residual, log_softmax = fused_refinement_attention(
-                cls_feat_0,
-                cls_feat_1,
-                flow,
-                self.classification_bias,
-                c.temperature,
-                c.refinement_range,
-            )
+            with jax.named_scope("refinement"):
+                residual, log_softmax = fused_refinement_attention(
+                    cls_feat_0,
+                    cls_feat_1,
+                    flow,
+                    self.classification_bias,
+                    c.temperature,
+                    c.refinement_range,
+                )
             out["regression_flow"] = flow
             flow = flow + residual
             out["refinement_residual"] = residual

@@ -46,7 +46,10 @@ Region = np.ndarray  # shape (4,): [top, bottom, left, right]
 
 
 def _identity_regions(h: int, w: int) -> Region:
-    return np.array([0, h, 0, w], dtype=np.float64)
+    # int64, like the reference's torch.tensor([0, H, 0, W]) seeds
+    # (flow_resizing.py:737-740); in-place float updates then truncate,
+    # which CenterCropManipulation reproduces below.
+    return np.array([0, h, 0, w], dtype=np.int64)
 
 
 class ImagePairsManipulationBase:
@@ -167,6 +170,7 @@ class CenterCropManipulation(ImagePairsManipulationBase):
         img1_c, top1, left1 = crop(img1, h1, w1)
 
         def update(rep, src, top, left, h, w):
+            src_dtype = np.asarray(src).dtype
             rep = np.asarray(rep, dtype=np.float64)
             src = np.asarray(src, dtype=np.float64).copy()
             bottom_crop = h - th - top
@@ -182,6 +186,10 @@ class CenterCropManipulation(ImagePairsManipulationBase):
             new_rep = (remaining - np.array([top, top, left, left])).astype(np.int64)
             src[0], src[1] = scale_axis(src[0], src[1], rep[0], rep[1], remaining[0], remaining[1])
             src[2], src[3] = scale_axis(src[2], src[3], rep[2], rep[3], remaining[2], remaining[3])
+            if np.issubdtype(src_dtype, np.integer):
+                # the reference assigns these floats into an int64 tensor,
+                # truncating toward zero — reproduce exactly
+                src = np.trunc(src).astype(src_dtype)
             return new_rep, src
 
         rep0, src0 = update(img0_region_representation, img0_region_source, top0, left0, h0, w0)

@@ -70,3 +70,29 @@ def test_load_pretrained_ckpt(tmp_path):
     flat_b = flatten_params(loaded.params)
     for k in flat_a:
         np.testing.assert_array_equal(flat_a[k], np.asarray(flat_b[k]), err_msg=k)
+
+
+def test_canonicalize_reference_names():
+    from ufm_tpu.checkpoint.convert import canonicalize_reference_names
+
+    sd = {
+        "encoder.model.blocks.3.attn.qkv.weight": 1,
+        "encoder.model.patch_embed.proj.weight": 2,
+        "head1.0.0.proj_0.weight": 3,
+        "head1.0.1.conv1.weight": 4,
+        "uncertainty_head.0.0.fusion_2.rcu.conv1.bias": 5,
+        "unet_feature.ups.0.weight": 6,   # ConvTranspose
+        "unet_feature.ups.1.conv.0.weight": 7,  # DoubleConv
+        "unet_feature.downs.2.conv.0.weight": 8,
+        "info_sharing.blocks.11.mlp.fc2.bias": 9,
+    }
+    out = canonicalize_reference_names(sd)
+    assert "encoder.blocks_3.attn.qkv.weight" in out
+    assert "encoder.patch_embed.weight" in out
+    assert "head1.feature.proj_0.weight" in out
+    assert "head1.processor.conv1.weight" in out
+    assert "uncertainty_head.feature.fusion_2.rcu.conv1.bias" in out
+    assert "unet_feature.up_0.weight" in out
+    assert "unet_feature.up_conv_0.conv.0.weight" in out
+    assert "unet_feature.down_2.conv.0.weight" in out
+    assert "info_sharing.blocks_11.mlp.fc2.bias" in out

@@ -27,6 +27,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import numpy as np
 
 __all__ = [
+    "canonicalize_reference_names",
     "modify_state_dict",
     "torch_state_dict_to_params",
     "params_to_torch_state_dict",
@@ -82,6 +83,47 @@ def _to_numpy(t) -> np.ndarray:
         return t.detach().cpu().numpy()
     except AttributeError:
         return np.asarray(t)
+
+
+# Structural renames from the reference's torch naming to this framework's
+# module tree, applied before the leaf/layout rules:
+# - the encoder wraps a timm/DINOv2 model as `encoder.model.*` (the key
+#   surgery at reference ufm.py:208-210 shows this prefix);
+# - torch ModuleList entries are `blocks.N`, ours are `blocks_N`;
+# - torch PatchEmbed has an inner `.proj` conv, ours IS the conv;
+# - reference heads are nn.Sequential(Sequential(DPTFeature, DPTProcessor),
+#   AdaptorMap) -> keys `head1.0.0.*` / `head1.0.1.*` (ufm.py:262-273).
+_REFERENCE_NAME_RULES: Tuple[Tuple[str, str], ...] = (
+    (r"^encoder\.model\.", "encoder."),
+    (r"^head1\.0\.0\.", "head1.feature."),
+    (r"^head1\.0\.1\.", "head1.processor."),
+    (r"^uncertainty_head\.0\.0\.", "uncertainty_head.feature."),
+    (r"^uncertainty_head\.0\.1\.", "uncertainty_head.processor."),
+    (r"\.blocks\.(\d+)\.", r".blocks_\1."),
+    (r"\.patch_embed\.proj\.", ".patch_embed."),
+    (r"\.downs\.(\d+)\.", r".down_\1."),
+)
+
+
+def canonicalize_reference_names(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Rewrite reference-layout torch keys into this framework's naming."""
+    import re
+
+    def fix_unet_ups(key: str) -> str:
+        # reference UNet interleaves ConvTranspose/DoubleConv in one list
+        # (unet_encoder.py:42-45): ups.{2k} -> up_{k}, ups.{2k+1} -> up_conv_{k}
+        def rep(m):
+            i = int(m.group(1))
+            return f".up_{i // 2}." if i % 2 == 0 else f".up_conv_{i // 2}."
+
+        return re.sub(r"\.ups\.(\d+)\.", rep, key)
+
+    out = {}
+    for k, v in state_dict.items():
+        for pat, rep in _REFERENCE_NAME_RULES:
+            k = re.sub(pat, rep, k)
+        out[fix_unet_ups(k)] = v
+    return out
 
 
 def _torch_name_to_flax(name: str) -> Tuple[str, Callable[[np.ndarray], np.ndarray]]:
@@ -141,11 +183,19 @@ def _layout_transform(arr: np.ndarray, torch_name: str, to_flax: bool) -> np.nda
 def torch_state_dict_to_params(
     state_dict: Dict[str, Any],
     extra_mappings: Optional[Dict[str, Optional[str]]] = None,
+    canonicalize: bool = True,
 ) -> Dict[str, Any]:
-    """Convert a torch state_dict (canonical naming) to a flax params tree."""
+    """Convert a torch state_dict to a flax params tree.
+
+    ``canonicalize`` first rewrites reference-layout names (DINOv2 wrapper
+    prefixes, ModuleList indices, Sequential head indices) into this
+    framework's naming; already-canonical names pass through unchanged.
+    """
     sd = {k: _to_numpy(v) for k, v in state_dict.items()}
     if extra_mappings:
         sd = modify_state_dict(sd, extra_mappings)
+    if canonicalize:
+        sd = canonicalize_reference_names(sd)
 
     flat: Dict[str, np.ndarray] = {}
     for name, arr in sd.items():

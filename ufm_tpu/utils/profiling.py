@@ -19,13 +19,17 @@ __all__ = ["trace", "timed", "sync"]
 
 
 def sync(tree) -> None:
-    """Force completion of a pytree of jax arrays (value-fetch based)."""
+    """Force completion of a pytree of jax arrays (value-fetch based).
+
+    Device streams execute in dispatch order, so fetching one element of the
+    last-dispatched leaf completes everything before it; used on platforms
+    where ``block_until_ready`` does not actually block.
+    """
     import jax
 
-    for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "addressable_shards") or hasattr(leaf, "block_until_ready"):
-            np.asarray(jax.tree.leaves(leaf)[0] if not hasattr(leaf, "ravel") else leaf.ravel()[0])
-            break
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "ravel")]
+    if leaves:
+        np.asarray(leaves[-1].ravel()[0])
 
 
 @contextlib.contextmanager

@@ -86,3 +86,17 @@ def test_serving_runtime_concurrent_submitters():
         t.join()
     assert results == {k: float(k) for k in range(32)}
     rt.close()
+
+
+def test_stream_predict_order_and_padding():
+    import jax.numpy as jnp
+
+    from ufm_tpu.runtime.streaming import stream_predict
+
+    def forward(src, tgt):
+        return {"mean": jnp.mean(src.reshape(src.shape[0], -1), axis=1)}
+
+    pairs = [(np.full((4, 4, 3), i, np.float32), np.zeros((4, 4, 3), np.float32)) for i in range(7)]
+    outs = list(stream_predict(forward, pairs, batch_size=3))
+    values = np.concatenate([np.asarray(o["mean"]) for o in outs])
+    np.testing.assert_allclose(values, np.arange(7, dtype=np.float32))

@@ -100,3 +100,60 @@ def test_stream_predict_order_and_padding():
     outs = list(stream_predict(forward, pairs, batch_size=3))
     values = np.concatenate([np.asarray(o["mean"]) for o in outs])
     np.testing.assert_allclose(values, np.arange(7, dtype=np.float32))
+
+
+def test_native_loader_decodes_pairs(tmp_path, rng):
+    pytest.importorskip("cv2")
+    import cv2
+
+    from ufm_tpu.runtime.loader import NativeImageLoader, iter_decoded_pairs
+
+    paths = []
+    imgs = []
+    for i in range(3):
+        img = rng.integers(0, 255, (32, 40, 3), dtype=np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        cv2.imwrite(p, img[:, :, ::-1])  # BGR on disk -> loader gives RGB
+        paths.append(p)
+        imgs.append(img)
+    ys, xs = np.mgrid[0:32, 0:40]
+    smooth = np.stack([ys * 4, xs * 4, (ys + xs) * 2], axis=-1).astype(np.uint8)
+    jp = str(tmp_path / "img_j.jpg")
+    cv2.imwrite(jp, smooth[:, :, ::-1])
+
+    # direct poll API (exact size -> lossless for PNG)
+    loader = NativeImageLoader((32, 40), num_threads=2)
+    loader.submit(7, paths[1])
+    rid, frame = loader.poll()
+    assert rid == 7
+    np.testing.assert_array_equal(frame, imgs[1])
+    # jpeg decodes (lossy -> approximate on smooth content)
+    loader.submit(8, jp)
+    rid, frame = loader.poll()
+    assert rid == 8 and frame is not None
+    assert np.abs(frame.astype(int) - smooth.astype(int)).mean() < 6
+    # resize path
+    loader2 = NativeImageLoader((16, 20), num_threads=1)
+    loader2.submit(1, paths[0])
+    rid, frame = loader2.poll()
+    assert frame.shape == (16, 20, 3)
+    loader2.close()
+    loader.close()
+
+    # ordered pair iterator
+    pairs = list(iter_decoded_pairs([(paths[0], paths[1]), (paths[2], paths[0])], (32, 40)))
+    assert len(pairs) == 2
+    np.testing.assert_array_equal(pairs[0][0], imgs[0])
+    np.testing.assert_array_equal(pairs[1][1], imgs[0])
+
+
+def test_native_loader_decode_error(tmp_path):
+    from ufm_tpu.runtime.loader import NativeImageLoader
+
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not an image")
+    loader = NativeImageLoader((8, 8), num_threads=1)
+    loader.submit(3, str(bad))
+    rid, frame = loader.poll()
+    assert rid == 3 and frame is None
+    loader.close()

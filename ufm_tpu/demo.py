@@ -99,6 +99,10 @@ def create_demo():
     return demo
 
 
-if __name__ == "__main__":
+def main() -> None:
     initialize_model()
     create_demo().launch()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,7 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Softmax attention; q/k/v are (B, S, H, D), returns (B, Sq, H, D)."""
@@ -73,6 +73,11 @@ def flash_attention(
     sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
+    if block_q is None:
+        # Large q blocks amortize grid overhead (measured: 45-62 TFLOPS at
+        # 1280 vs ~25 at 256 for this model's shapes); 1280 keeps the fp32
+        # score tile within VMEM for keys up to ~2.5k.
+        block_q = 1280
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

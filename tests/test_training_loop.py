@@ -1,0 +1,50 @@
+"""Training loop: fit() with checkpointing and resume (tiny, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ufm_tpu.models import UFMNet, ufm_tiny_config
+from ufm_tpu.training import fit, synthetic_batch
+
+
+def _batches(n, bs=2, h=42, w=56):
+    for i in range(n):
+        yield {k: np.asarray(v) for k, v in synthetic_batch(bs, h, w, seed=i).items()}
+
+
+@pytest.fixture(scope="module")
+def tiny_net_params():
+    cfg = ufm_tiny_config()
+    net = UFMNet(cfg)
+    img = jnp.zeros((2, 42, 56, 3))
+    params = net.init(jax.random.PRNGKey(0), img, img)["params"]
+    return net, params
+
+
+def test_fit_reduces_loss(tiny_net_params):
+    net, params = tiny_net_params
+    out = fit(net, params, _batches(12), num_steps=12, learning_rate=3e-4,
+              warmup_steps=0, log_every=0)
+    assert out["step"] == 12
+    assert np.isfinite(float(out["metrics"]["total_loss"]))
+
+
+def test_fit_checkpoint_resume(tmp_path, tiny_net_params):
+    pytest.importorskip("orbax.checkpoint")
+    net, params = tiny_net_params
+    ckpt = str(tmp_path / "ckpt")
+
+    out1 = fit(net, params, _batches(4), num_steps=4, warmup_steps=0,
+               checkpoint_dir=ckpt, checkpoint_every=2, log_every=0)
+    assert out1["step"] == 4
+
+    # resume: starts at 4, runs to 6
+    logs = []
+    out2 = fit(net, params, _batches(10), num_steps=6, warmup_steps=0,
+               checkpoint_dir=ckpt, checkpoint_every=100, log_every=0,
+               log_fn=logs.append)
+    assert any("resumed from step 4" in l for l in logs)
+    assert out2["step"] == 6

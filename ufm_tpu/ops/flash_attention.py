@@ -75,9 +75,11 @@ def flash_attention(
         scale = d**-0.5
     if block_q is None:
         # Large q blocks amortize grid overhead (measured: 45-62 TFLOPS at
-        # 1280 vs ~25 at 256 for this model's shapes); 1280 keeps the fp32
-        # score tile within VMEM for keys up to ~2.5k.
-        block_q = 1280
+        # 1280 vs ~25 at 256 for this model's shapes), bounded so the fp32
+        # score tile stays within VMEM for longer key sequences.
+        sk_pad_est = ((sk + _LANE - 1) // _LANE) * _LANE
+        vmem_budget = 8 * 1024 * 1024  # bytes for the score tile
+        block_q = min(1280, max(_LANE, (vmem_budget // (sk_pad_est * 4)) // _LANE * _LANE))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

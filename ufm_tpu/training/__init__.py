@@ -25,3 +25,7 @@ __all__ = [
     "synthetic_batch",
     "ufm_total_loss",
 ]
+
+from ufm_tpu.training.loop import fit  # noqa: E402
+
+__all__.append("fit")

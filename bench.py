@@ -38,12 +38,28 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from ufm_tpu.models import UniFlowMatchConfidence, ufm_base_config
+    from ufm_tpu.models import (
+        UniFlowMatchClassificationRefinement,
+        UniFlowMatchConfidence,
+        ufm_base_config,
+        ufm_refine_config,
+    )
 
     batch = int(os.environ.get("UFM_BENCH_BATCH", "8"))
     inner_iters = int(os.environ.get("UFM_BENCH_ITERS", "10"))
+    config = os.environ.get("UFM_BENCH_CONFIG", "forward")  # forward|refine|e2e
 
-    model = UniFlowMatchConfidence.from_config(ufm_base_config())
+    if config == "refine":
+        model = UniFlowMatchClassificationRefinement.from_config(ufm_refine_config())
+        metric = "refine_image_pairs_per_sec_per_chip_560x420"
+    else:
+        model = UniFlowMatchConfidence.from_config(ufm_base_config())
+        metric = "image_pairs_per_sec_per_chip_560x420"
+
+    if config == "e2e":
+        _bench_e2e(model, batch)
+        return
+
     w, h = model.inference_resolution[0]
     net = model.net
     params = model.params
@@ -101,7 +117,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "image_pairs_per_sec_per_chip_560x420",
+                "metric": metric,
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -110,6 +126,42 @@ def main() -> None:
                 "inner_iters": inner_iters,
                 "device": str(jax.devices()[0]),
                 "baseline_pairs_per_sec_torch_cpu": baseline_info.get("torch_cpu_pairs_per_sec"),
+            }
+        )
+    )
+
+
+def _bench_e2e(model, batch: int) -> None:
+    """Full public-pipeline latency: 1080p uint8 pair -> normalize -> resize
+    -> forward -> unmap to 1080p (one jitted program + H2D/D2H)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (batch, 1080, 1920, 3), dtype=np.uint8)
+
+    def run():
+        r = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+        return float(np.asarray(r.flow.flow_output[0, 0, 0, 0]))
+
+    run()  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_1080p_pairs_per_sec",
+                "value": round(batch / p50, 3),
+                "unit": "pairs/s",
+                "vs_baseline": None,
+                "p50_ms_per_batch": round(p50 * 1e3, 2),
+                "batch": batch,
             }
         )
     )

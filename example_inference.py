@@ -47,30 +47,31 @@ def main() -> None:
     model = _load_model(args.model, args.checkpoint, args.random_init)
 
     result = model.predict_correspondences_batched(source_image=source_image, target_image=target_image)
-    flow_output = np.asarray(result.flow.flow_output[0])
+    flow_hwc = np.asarray(result.flow.flow_output[0]).transpose(1, 2, 0)
     covisibility = np.asarray(result.covisibility.mask[0])
 
+    warped = warp_image_with_flow(source_image, None, target_image, flow_hwc)
+    warped = np.where(covisibility[..., None] > 0, covisibility[..., None] * warped + (1 - covisibility[..., None]) * 255, 255)
+
+    panels = [
+        ("Source Image", source_image, {}),
+        ("Target Image", target_image, {}),
+        ("Warped Image", warped / 255.0, {}),
+        ("Flow Output (valid at covisible region)", flow_to_color(flow_hwc), {}),
+        ("Covisibility Mask (thresholded at 0.5)", covisibility > 0.5, dict(cmap="gray", vmin=0, vmax=1)),
+        ("Covisibility Mask", covisibility, dict(cmap="gray", vmin=0, vmax=1)),
+    ]
+
     fig, axs = plt.subplots(2, 3, figsize=(15, 8))
-    axs[0, 0].imshow(source_image)
-    axs[0, 0].set_title("Source Image")
-    axs[0, 1].imshow(target_image)
-    axs[0, 1].set_title("Target Image")
+    for ax, (title, image, kwargs) in zip(axs.flat, panels):
+        shown = ax.imshow(image, **kwargs)
+        ax.set_title(title)
+        ax.set_axis_off()
+        if title == "Covisibility Mask":
+            plt.colorbar(shown, ax=ax)
 
-    warped = warp_image_with_flow(source_image, None, target_image, flow_output.transpose(1, 2, 0))
-    warped = covisibility[..., None] * warped + (1 - covisibility[..., None]) * 255 * np.ones_like(warped)
-    axs[0, 2].imshow(warped / 255.0)
-    axs[0, 2].set_title("Warped Image")
-
-    axs[1, 0].imshow(flow_to_color(flow_output.transpose(1, 2, 0)))
-    axs[1, 0].set_title("Flow Output (valid at covisible region)")
-    axs[1, 1].imshow(covisibility > 0.5, cmap="gray", vmin=0, vmax=1)
-    axs[1, 1].set_title("Covisibility Mask (thresholded at 0.5)")
-    heat = axs[1, 2].imshow(covisibility, cmap="gray", vmin=0, vmax=1)
-    axs[1, 2].set_title("Covisibility Mask")
-    plt.colorbar(heat, ax=axs[1, 2])
-
-    plt.tight_layout()
-    plt.savefig(args.output)
+    fig.tight_layout()
+    fig.savefig(args.output)
     print(f"Saved {args.output}")
 
 

@@ -118,3 +118,24 @@ def test_save_load_roundtrip(tmp_path, tiny_confidence_model, rng):
     np.testing.assert_allclose(
         np.asarray(r1.flow.flow_output), np.asarray(r2.flow.flow_output), rtol=1e-5, atol=1e-5
     )
+
+
+def test_multi_resolution_closest_aspect(rng):
+    """With several trained resolutions, the pipeline picks the closest
+    aspect per input (reference base.py:97-100 semantics)."""
+    cfg = ufm_tiny_config(inference_resolution=[(56, 42), (42, 56)])  # (W, H) pair
+    model = UniFlowMatchConfidence.from_config(cfg)
+
+    wide = rng.integers(0, 255, (60, 120, 3), dtype=np.uint8)  # landscape
+    tall = rng.integers(0, 255, (120, 60, 3), dtype=np.uint8)  # portrait
+
+    r_wide = model.predict_correspondences_batched(source_image=wide, target_image=wide)
+    r_tall = model.predict_correspondences_batched(source_image=tall, target_image=tall)
+    assert np.asarray(r_wide.flow.flow_output).shape == (1, 2, 60, 120)
+    assert np.asarray(r_tall.flow.flow_output).shape == (1, 2, 120, 60)
+
+    # the scaler itself must choose different targets
+    shape_wide, _ = model.image_scaler.select(60, 120, 60, 120)
+    shape_tall, _ = model.image_scaler.select(120, 60, 120, 60)
+    assert shape_wide[:2] == (42, 56)
+    assert shape_tall[:2] == (56, 42)

@@ -45,7 +45,7 @@ def main() -> None:
         ufm_refine_config,
     )
 
-    batch = int(os.environ.get("UFM_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("UFM_BENCH_BATCH", "4"))
     inner_iters = int(os.environ.get("UFM_BENCH_ITERS", "10"))
     config = os.environ.get("UFM_BENCH_CONFIG", "forward")  # forward|refine|e2e
 

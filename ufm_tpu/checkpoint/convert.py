@@ -126,6 +126,24 @@ def canonicalize_reference_names(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def _split_cls_pos_embed(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """DINOv2-style checkpoints store one (1, 1+G², C) pos_embed including
+    the cls position; this framework keeps the (1, G², C) grid and the cls
+    position as separate parameters (ufm_tpu/nn/encoders/vit.py)."""
+    key = "encoder.pos_embed"
+    if key in sd:
+        pe = sd[key]
+        if pe.ndim == 3:
+            n = pe.shape[1]
+            g = int(round(n**0.5))
+            g1 = int(round((n - 1) ** 0.5))
+            if g * g != n and g1 * g1 == n - 1:
+                sd = dict(sd)
+                sd["encoder.cls_pos_embed"] = pe[:, :1]
+                sd[key] = pe[:, 1:]
+    return sd
+
+
 def _torch_name_to_flax(name: str) -> Tuple[str, Callable[[np.ndarray], np.ndarray]]:
     """Map one torch parameter name to (flax flat path, layout transform)."""
     parts = name.split(".")
@@ -196,6 +214,7 @@ def torch_state_dict_to_params(
         sd = modify_state_dict(sd, extra_mappings)
     if canonicalize:
         sd = canonicalize_reference_names(sd)
+        sd = _split_cls_pos_embed(sd)
 
     flat: Dict[str, np.ndarray] = {}
     for name, arr in sd.items():

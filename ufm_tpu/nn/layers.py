@@ -9,6 +9,7 @@ TPU for the backbone, fp32 for prediction heads); parameters are always fp32.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -16,7 +17,11 @@ import jax.numpy as jnp
 
 from ufm_tpu.ops.attention import dot_product_attention
 
-__all__ = ["Mlp", "Attention", "LayerScale", "TransformerBlock"]
+__all__ = ["Mlp", "Attention", "LayerScale", "TransformerBlock", "exact_gelu"]
+
+# torch nn.GELU defaults to the exact (erf) form; flax's default is the tanh
+# approximation — use exact for checkpoint-numerics parity.
+exact_gelu = functools.partial(nn.gelu, approximate=False)
 
 
 class Mlp(nn.Module):
@@ -24,7 +29,7 @@ class Mlp(nn.Module):
 
     hidden_dim: int
     out_dim: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

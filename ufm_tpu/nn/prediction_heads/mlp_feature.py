@@ -41,7 +41,7 @@ class MLPFeature(nn.Module):
 
         for i, h in enumerate(self.hidden_dims):
             x = nn.Dense(h, dtype=self.dtype, name=f"fc{i}")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         x = nn.Dense(p * p * self.output_dim, dtype=self.dtype, name="fc_out")(x)
 
         # depth-to-space: (B, Hp, Wp, p*p*C) -> (B, Hp*p, Wp*p, C)

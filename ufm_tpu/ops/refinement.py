@@ -147,16 +147,29 @@ def fused_refinement_attention(
     wy = jnp.stack(cubic_weights(ty), axis=-1)
 
     # q · F[tap] for every integer tap of the (P+3)^2 window, zero padded.
-    u = jnp.arange(k, dtype=jnp.int32)
-    ix = x_base[..., None] + u  # (B, H, W, K)
-    iy = y_base[..., None] + u
-    valid = ((ix >= 0) & (ix < w))[:, :, :, None, :] & ((iy >= 0) & (iy < h))[:, :, :, :, None]
-    lin = jnp.clip(iy, 0, h - 1)[:, :, :, :, None] * w + jnp.clip(ix, 0, w - 1)[:, :, :, None, :]
+    # One gather+reduce per tap position: peak memory is O(B·H·W·C) per tap
+    # plus the O(B·H·W·K²) scalar grid — never the K²×C window tensor.
+    ix_valid = []
+    ix_lin = []
+    for u in range(k):
+        ix_u = x_base + u
+        ix_valid.append((ix_u >= 0) & (ix_u < w))
+        ix_lin.append(jnp.clip(ix_u, 0, w - 1))
 
-    taps = jnp.take_along_axis(flat, lin.reshape(b, -1)[..., None], axis=1)
-    taps = taps.reshape(b, h, w, k, k, c)
-    dots = jnp.einsum("bhwc,bhwvuc->bhwvu", q, taps)  # (B, H, W, Ky, Kx)
-    dots = jnp.where(valid, dots, 0.0)
+    dot_rows = []
+    for v in range(k):
+        iy_v = y_base + v
+        y_ok = (iy_v >= 0) & (iy_v < h)
+        y_lin = jnp.clip(iy_v, 0, h - 1) * w
+        row = []
+        for u in range(k):
+            lin = y_lin + ix_lin[u]
+            tap = jnp.take_along_axis(flat, lin.reshape(b, -1)[..., None], axis=1)
+            tap = tap.reshape(b, h, w, c)
+            d = jnp.einsum("bhwc,bhwc->bhw", q, tap)
+            row.append(jnp.where(y_ok & ix_valid[u], d, 0.0))
+        dot_rows.append(jnp.stack(row, axis=-1))
+    dots = jnp.stack(dot_rows, axis=-2)  # (B, H, W, Ky, Kx)
 
     # separable cubic combination: scores[i, j] = Σ_l Σ_m wy[l] wx[m] dots[i+l, j+m]
     # combine x first: (B,H,W,Ky,Kx) -> (B,H,W,Ky,P)

@@ -96,7 +96,24 @@ def create_demo():
         target.upload(process_images, inputs, outputs)
         use_refinement.change(process_images, inputs, outputs)
 
+        example_pairs = _bundled_example_pairs()
+        if example_pairs:
+            gr.Examples(examples=example_pairs, inputs=[source, target])
+
     return demo
+
+
+def _bundled_example_pairs():
+    import glob
+    import os
+
+    pair_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "image_pairs")
+    pairs = []
+    for img0 in sorted(glob.glob(os.path.join(pair_dir, "*_0.png"))):
+        img1 = img0[: -len("_0.png")] + "_1.png"
+        if os.path.exists(img1):
+            pairs.append([img0, img1])
+    return pairs
 
 
 def main() -> None:

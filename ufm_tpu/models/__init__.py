@@ -14,6 +14,7 @@ from ufm_tpu.models.config import (
     ufm_tiny_config,
 )
 from ufm_tpu.models.network import UFMNet
+from ufm_tpu.models.tiled import predict_correspondences_tiled
 from ufm_tpu.models.ufm import (
     UniFlowMatch,
     UniFlowMatchClassificationRefinement,
@@ -31,6 +32,7 @@ __all__ = [
     "UniFlowMatchClassificationRefinement",
     "UniFlowMatchConfidence",
     "UniFlowMatchModelsBase",
+    "predict_correspondences_tiled",
     "ufm_base_config",
     "ufm_refine_config",
     "ufm_tiny_config",

@@ -61,3 +61,26 @@ def test_sharded_train_step_runs(tiny_net_and_params):
     before = np.asarray(params["head1"]["processor"]["conv3"]["kernel"])
     after = np.asarray(new_params["head1"]["processor"]["conv3"]["kernel"])
     assert not np.allclose(before, after)
+
+
+def test_data_parallel_inference_matches_single(tiny_net_and_params, rng):
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import UniFlowMatchConfidence, ufm_tiny_config
+    from ufm_tpu.parallel import make_data_parallel_forward, make_mesh
+
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    mesh = make_mesh(8, data=8)
+
+    w, h = model.inference_resolution[0]
+    src = rng.standard_normal((8, h, w, 3)).astype(np.float32)
+    tgt = rng.standard_normal((8, h, w, 3)).astype(np.float32)
+
+    dp = make_data_parallel_forward(model, mesh)
+    with mesh:
+        sharded = dp(src, tgt)
+
+    single = model.net.apply({"params": model.params}, jnp.asarray(src), jnp.asarray(tgt))
+    np.testing.assert_allclose(
+        np.asarray(sharded["flow"]), np.asarray(single["flow"]), rtol=1e-4, atol=1e-4
+    )

@@ -6,3 +6,7 @@ from ufm_tpu.parallel.sharding import (
 )
 
 __all__ = ["batch_sharding", "make_mesh", "param_partition_spec", "shard_params"]
+
+from ufm_tpu.parallel.inference import make_data_parallel_forward  # noqa: E402
+
+__all__.append("make_data_parallel_forward")

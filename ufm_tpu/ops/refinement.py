@@ -116,53 +116,41 @@ def _window_dots(
     x_base: jnp.ndarray,
     y_base: jnp.ndarray,
     k: int,
-    chunk: int = 8192,
 ) -> jnp.ndarray:
-    """q · F[window] for each pixel's K×K integer tap window, zeros padding.
+    """q · F[tap] for each pixel's K×K integer tap window, zeros padding.
 
     q: (B, H, W, C); f: (B, H, W, C); x_base/y_base: (B, H, W) int32 leftmost
     /topmost tap. Returns (B, H, W, K, K) float32.
 
-    TPU-friendly formulation: the K×K window is a *contiguous* patch, so each
-    pixel needs one (K, K, C) dynamic-slice from a zero-padded feature map —
-    a single sliced gather per pixel instead of K² element gathers (the XLA
-    lowering of pointwise gathers scalarizes and dominated the refine-variant
-    runtime). Pixels are processed in chunks to bound the patch buffer.
+    One vector gather + reduce per tap position: peak memory is O(B·H·W·C)
+    per tap plus the O(B·H·W·K²) scalar grid — never the K²×C window tensor.
+    (A contiguous (K,K,C) patch-slice gather variant was measured ~2× slower
+    on TPU — XLA scalarizes both, and per-tap keeps the reduction fused.)
     """
     b, h, w, c = f.shape
-    pad = k
-    fpad = jnp.pad(f, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    flat = f.reshape(b, h * w, c)
 
-    # fully-out-of-range windows would fetch clipped (wrong) data: mask them.
-    win_ok = (y_base >= -pad) & (y_base <= h) & (x_base >= -pad) & (x_base <= w)
-    ys = jnp.clip(y_base + pad, 0, h + 2 * pad - k)
-    xs = jnp.clip(x_base + pad, 0, w + 2 * pad - k)
+    ix_valid = []
+    ix_lin = []
+    for u in range(k):
+        ix_u = x_base + u
+        ix_valid.append((ix_u >= 0) & (ix_u < w))
+        ix_lin.append(jnp.clip(ix_u, 0, w - 1))
 
-    n = h * w
-    n_pad = (-n) % chunk
-    nc = (n + n_pad) // chunk
-
-    def per_image(args):
-        fp, q_i, ys_i, xs_i = args
-        ys_f = jnp.pad(ys_i.reshape(-1), (0, n_pad))
-        xs_f = jnp.pad(xs_i.reshape(-1), (0, n_pad))
-        q_f = jnp.pad(q_i.reshape(-1, c), ((0, n_pad), (0, 0)))
-
-        def chunk_fn(carry, idx):
-            yc = jax.lax.dynamic_slice_in_dim(ys_f, idx * chunk, chunk)
-            xc = jax.lax.dynamic_slice_in_dim(xs_f, idx * chunk, chunk)
-            qc = jax.lax.dynamic_slice_in_dim(q_f, idx * chunk, chunk)
-            patches = jax.vmap(
-                lambda y, x: jax.lax.dynamic_slice(fp, (y, x, 0), (k, k, c))
-            )(yc, xc)
-            d = jnp.einsum("pc,pvuc->pvu", qc, patches)
-            return carry, d
-
-        _, out = jax.lax.scan(chunk_fn, 0, jnp.arange(nc))
-        return out.reshape(nc * chunk, k, k)[:n].reshape(h, w, k, k)
-
-    dots = jax.lax.map(per_image, (fpad, q, ys, xs))
-    return jnp.where(win_ok[..., None, None], dots, 0.0)
+    dot_rows = []
+    for v in range(k):
+        iy_v = y_base + v
+        y_ok = (iy_v >= 0) & (iy_v < h)
+        y_lin = jnp.clip(iy_v, 0, h - 1) * w
+        row = []
+        for u in range(k):
+            lin = y_lin + ix_lin[u]
+            tap = jnp.take_along_axis(flat, lin.reshape(b, -1)[..., None], axis=1)
+            tap = tap.reshape(b, h, w, c)
+            d = jnp.einsum("bhwc,bhwc->bhw", q, tap)
+            row.append(jnp.where(y_ok & ix_valid[u], d, 0.0))
+        dot_rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(dot_rows, axis=-2)  # (B, H, W, Ky, Kx)
 
 
 def fused_refinement_attention(

@@ -19,7 +19,6 @@ program, so one host→device transfer of the raw images is the only copy.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, List, Optional, Tuple, Union
 
 import jax

@@ -10,7 +10,7 @@ ufm.py:120 + SURVEY.md §3.5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, List, Tuple, Union
 
 __all__ = ["UFMArchConfig", "ufm_base_config", "ufm_refine_config", "ufm_tiny_config"]
 

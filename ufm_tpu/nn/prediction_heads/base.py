@@ -12,7 +12,7 @@ model API converts to the reference's BCHW at its boundary.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax.numpy as jnp
 

@@ -10,8 +10,7 @@ per-submodule learning-rate groups, and a jitted train step that runs over a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ interpolation goes through the MXU matmul resize in
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

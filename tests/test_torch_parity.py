@@ -110,3 +110,76 @@ def test_encoder_forward_parity(rng):
         theirs = twin(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
 
     np.testing.assert_allclose(ours_bchw, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TorchDoubleConv(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = tnn.Sequential(
+            tnn.Conv2d(cin, cout, 3, padding=1), tnn.ReLU(inplace=True),
+            tnn.Conv2d(cout, cout, 3, padding=1), tnn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class TorchUNetTwin(tnn.Module):
+    """Reference UNet layout (unet_encoder.py:26-71): downs/ups ModuleLists
+    with interleaved ConvTranspose + DoubleConv."""
+
+    def __init__(self, cin=3, cout=4, features=(4, 8)):
+        super().__init__()
+        self.downs = tnn.ModuleList()
+        self.ups = tnn.ModuleList()
+        c = cin
+        for f in features:
+            self.downs.append(TorchDoubleConv(c, f))
+            c = f
+        self.pool = tnn.MaxPool2d(2, 2)
+        self.bottleneck = TorchDoubleConv(features[-1], features[-1] * 2)
+        for f in reversed(features):
+            self.ups.append(tnn.ConvTranspose2d(f * 2, f, 2, stride=2))
+            self.ups.append(TorchDoubleConv(f * 2, f))
+        self.final_conv = tnn.Conv2d(features[0], cout, 1)
+
+    def forward(self, x):
+        skips = []
+        for d in self.downs:
+            x = d(x)
+            skips.append(x)
+            x = self.pool(x)
+        x = self.bottleneck(x)
+        skips = skips[::-1]
+        for i in range(0, len(self.ups), 2):
+            x = self.ups[i](x)
+            x = torch.cat((skips[i // 2], x), dim=1)
+            x = self.ups[i + 1](x)
+        return self.final_conv(x)
+
+
+def test_unet_forward_parity(rng):
+    """UNet conversion: conv / ConvTranspose / maxpool / interleaved-ups
+    naming all round through the converter with exact numerics."""
+    from ufm_tpu.nn.unet import UNet
+
+    torch.manual_seed(1)
+    twin = TorchUNetTwin().eval()
+    # our UNet names convs conv1/conv2 directly; the torch twin nests them in
+    # a Sequential ("conv.0", "conv.2") — map those indices first
+    sd = {}
+    for k, v in twin.state_dict().items():
+        k = k.replace(".conv.0.", ".conv1.").replace(".conv.2.", ".conv2.")
+        k = k.replace("final_conv.", "final.")
+        sd[f"unet_feature.{k}"] = v
+
+    ours = UNet(out_channels=4, features=(4, 8))
+    x = rng.standard_normal((2, 16, 24, 3)).astype(np.float32)
+    template = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    converted = torch_state_dict_to_params(sd)["unet_feature"]
+    params = _merge_params(template, converted, strict=True)
+
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(x))).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

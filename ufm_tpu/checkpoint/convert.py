@@ -181,17 +181,21 @@ def _is_transposed_conv(torch_name: str) -> bool:
 
 
 def _layout_transform(arr: np.ndarray, torch_name: str, to_flax: bool) -> np.ndarray:
-    """Apply layout conversion based on rank (+ transposed-conv marker)."""
+    """Apply layout conversion based on rank (+ transposed-conv marker).
+
+    torch Conv2d OIHW <-> flax HWIO; torch ConvTranspose2d IOHW <-> flax
+    HWIO *with spatial flip* (flax's default ConvTranspose is an unflipped
+    fractionally-strided conv — verified empirically in
+    tests/test_torch_parity.py)."""
     is_transposed_conv = _is_transposed_conv(torch_name)
     if arr.ndim == 4:
         if to_flax:
-            # torch conv OIHW -> flax HWIO; ConvTranspose torch IOHW -> flax HWIO
             if is_transposed_conv:
-                return arr.transpose(2, 3, 0, 1)
+                return np.ascontiguousarray(arr.transpose(2, 3, 0, 1)[::-1, ::-1])
             return arr.transpose(2, 3, 1, 0)
         else:
             if is_transposed_conv:
-                return arr.transpose(2, 3, 0, 1)
+                return np.ascontiguousarray(arr[::-1, ::-1].transpose(2, 3, 0, 1))
             return arr.transpose(3, 2, 0, 1)
     if arr.ndim == 2:
         return arr.T  # linear weight

@@ -15,7 +15,6 @@ from typing import Any, Callable, Dict, Iterable, Optional
 import jax
 import numpy as np
 
-from ufm_tpu.training.losses import ufm_total_loss
 from ufm_tpu.training.trainer import make_optimizer, make_sharded_train_step, make_train_step
 
 __all__ = ["fit"]

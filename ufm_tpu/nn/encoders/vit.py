@@ -78,6 +78,7 @@ class ViTEncoder(nn.Module):
     intermediate_layer_idx: Optional[Sequence[int]] = None
     norm_intermediate: bool = True
     data_norm_type: str = "dinov2"
+    mlp_act: str = "gelu_exact"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,6 +124,7 @@ class ViTEncoder(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 layerscale_init=self.layerscale_init,
+                mlp_act=self.mlp_act,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

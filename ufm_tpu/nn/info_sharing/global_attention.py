@@ -80,6 +80,7 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
     intermediate_layer_idx: Sequence[int] = (5, 8)
     norm_intermediate: bool = True
     use_pos_embed: bool = True
+    mlp_act: str = "gelu_exact"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -119,6 +120,7 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 layerscale_init=self.layerscale_init,
+                mlp_act=self.mlp_act,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

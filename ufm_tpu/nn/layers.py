@@ -77,6 +77,12 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+_ACTIVATIONS = {
+    "gelu_exact": exact_gelu,  # torch default; weight-parity choice
+    "gelu_tanh": nn.gelu,  # tanh approximation; cheaper on the VPU
+}
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm transformer block with optional LayerScale."""
 
@@ -84,6 +90,7 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     layerscale_init: Optional[float] = None
+    mlp_act: str = "gelu_exact"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -96,7 +103,7 @@ class TransformerBlock(nn.Module):
         x = x + h
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        h = Mlp(int(c * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
+        h = Mlp(int(c * self.mlp_ratio), act=_ACTIVATIONS[self.mlp_act], dtype=self.dtype, name="mlp")(h)
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls2")(h)
         return x + h

@@ -49,11 +49,21 @@ def main() -> None:
     inner_iters = int(os.environ.get("UFM_BENCH_ITERS", "10"))
     config = os.environ.get("UFM_BENCH_CONFIG", "forward")  # forward|refine|e2e
 
+    overrides = {}
+    if os.environ.get("UFM_BENCH_FAST_GELU") == "1":
+        # tanh-GELU fast mode (~+20% forward throughput; exact GELU is the
+        # checkpoint-parity default)
+        base = ufm_base_config()
+        overrides = {
+            "encoder_kwargs": {**base.encoder_kwargs, "mlp_act": "gelu_tanh"},
+            "info_sharing_kwargs": {**base.info_sharing_kwargs, "mlp_act": "gelu_tanh"},
+        }
+
     if config == "refine":
-        model = UniFlowMatchClassificationRefinement.from_config(ufm_refine_config())
+        model = UniFlowMatchClassificationRefinement.from_config(ufm_refine_config(**overrides))
         metric = "refine_image_pairs_per_sec_per_chip_560x420"
     else:
-        model = UniFlowMatchConfidence.from_config(ufm_base_config())
+        model = UniFlowMatchConfidence.from_config(ufm_base_config(**overrides))
         metric = "image_pairs_per_sec_per_chip_560x420"
 
     if config == "e2e":

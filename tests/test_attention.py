@@ -30,3 +30,27 @@ def test_flash_bf16():
     ref = _xla_attention(q, q, q, 32**-0.5).astype(jnp.float32)
     got = flash_attention(q, q, q, interpret=True).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_gradients_match_xla():
+    """Training path: the custom VJP must equal the XLA attention gradient."""
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, s, h, d = 1, 72, 2, 16
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+    cot = jax.random.normal(kg, (b, s, h, d), dtype=jnp.float32)
+
+    scale = d**-0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-4, err_msg=name)

@@ -58,7 +58,6 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -68,7 +67,12 @@ def flash_attention(
     block_q: int | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """Softmax attention; q/k/v are (B, S, H, D), returns (B, Sq, H, D)."""
+    """Softmax attention; q/k/v are (B, S, H, D), returns (B, Sq, H, D).
+
+    Differentiable: the forward runs the Pallas kernel; the backward is the
+    exact softmax-attention VJP as XLA einsums (the O(S²) score matrix fits
+    comfortably at this model's sequence lengths).
+    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
@@ -82,6 +86,48 @@ def flash_attention(
         block_q = min(1280, max(_LANE, (vmem_budget // (sk_pad_est * 4)) // _LANE * _LANE))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _flash_attention_vjp(q, k, v, float(scale), int(block_q), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_vjp(q, k, v, scale, block_q, interpret):
+    return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, interpret):
+    out = _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+    return out, (q, k, v)
+
+
+def _flash_attention_bwd(scale, block_q, interpret, residuals, g):
+    q, k, v = residuals
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_vjp.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _flash_attention_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
 
     def pad_to(x, m):
         r = (-x.shape[1]) % m

@@ -27,6 +27,7 @@ __all__ = [
     "get_meshgrid",
     "get_meshgrid_jnp",
     "depthmap_to_camera_coordinates",
+    "depthmap_to_pts3d",
     "z_depthmap_to_norm_depthmap",
     "z_depthmap_to_norm_depthmap_batched",
     "depthmap_to_absolute_camera_coordinates",
@@ -129,6 +130,40 @@ def geotrf(Trf, pts, ncol=None, norm=False):
 
 def inv(mat):
     return np.linalg.inv(np.asarray(mat))
+
+
+def depthmap_to_pts3d(depth, pseudo_focal, pp=None, **_):
+    """Batched depth → pointmap with per-pixel pseudo-focal (reference
+    geometry.py:166-214). depth: (B, H, W); pseudo_focal: (B, H, W) or
+    (B, 1|2, H, W); returns (B, H, W, 3)."""
+    depth = np.asarray(depth)
+    pseudo_focal = np.asarray(pseudo_focal)
+    b, h, w = depth.shape[:3]
+
+    if pseudo_focal.ndim == 3:
+        fx = fy = pseudo_focal
+    elif pseudo_focal.ndim == 4:
+        fx = pseudo_focal[:, 0]
+        fy = pseudo_focal[:, 1] if pseudo_focal.shape[1] == 2 else fx
+    else:
+        raise NotImplementedError("unknown pseudo_focal shape")
+
+    gx, gy = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    if pp is None:
+        gx = gx - (w - 1) / 2
+        gy = gy - (h - 1) / 2
+        gx = np.broadcast_to(gx, (b, h, w))
+        gy = np.broadcast_to(gy, (b, h, w))
+    else:
+        pp = np.asarray(pp)
+        gx = gx[None] - pp[:, 0, None, None]
+        gy = gy[None] - pp[:, 1, None, None]
+
+    pts = np.empty((b, h, w, 3), dtype=np.float64)
+    pts[..., 0] = depth * gx / fx
+    pts[..., 1] = depth * gy / fy
+    pts[..., 2] = depth
+    return pts
 
 
 def depthmap_to_camera_coordinates(depthmap, camera_intrinsics, pseudo_focal=None):

@@ -142,6 +142,18 @@ def main():
         "cpu_count": os.cpu_count(),
         "torch_version": torch.__version__,
         "note": "architecture twin of ufm_base_config (ViT-L/14 both views + info sharing + 2 DPT heads) at 560x420, fp32 CPU",
+        "architecture": {
+            "encoder": f"ViT dim={ENC_DIM} depth={ENC_DEPTH} heads={ENC_HEADS} patch={PATCH}, both views in one 2B batch",
+            "info_sharing": f"joint transformer dim={INFO_DIM} depth={INFO_DEPTH} heads={INFO_HEADS} over concatenated view tokens",
+            "heads": f"2x DPT (flow 2ch, uncertainty 5ch), 4-level pyramid, feature_dim={FEATURE_DIM}",
+            "resolution": f"{W}x{H}",
+            "deltas_vs_reference": [
+                "reference model itself cannot run (UniCeption submodule absent from snapshot); this twin mirrors the flagship config measured by bench.py",
+                "encoder is plain ViT (no DINOv2 register tokens / interpolated pos-embed); same token count, dim, depth — FLOP-equivalent",
+                "info-sharing taps and DPT reassembly use one shared info map for levels 1-3 instead of distinct taps — identical conv/attention FLOPs",
+                "no adaptor postprocessing (sigmoid/exp transforms, negligible cost) and no symmetrized-pair dedup (reference also disables it for distinct pairs)",
+            ],
+        },
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     with open(path, "w") as f:

@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
-"""Command-line interface for the TPU-native UFM framework.
+"""``ufm`` console entry point for the TPU-native framework.
 
-Mirrors the reference CLI surface (uniflowmatch/cli.py:12-47): subcommands
-``demo`` (gradio UI), ``infer`` (image pair -> flow/covisibility/warp PNGs),
-``test`` (installation smoke check), with the same output filenames
-(cli.py:127-148).
+The subcommand surface is a compatibility contract with the reference release
+(uniflowmatch/cli.py:12-47): ``demo`` serves the gradio UI, ``infer`` writes
+``flow_visualization.png`` / ``covisibility_mask.png`` / ``warped_source.png``
+for an image pair (cli.py:127-148), and ``test`` is an environment smoke
+check. Everything behind those flags is this project's own plumbing.
 """
 
 from __future__ import annotations
@@ -13,46 +14,51 @@ import argparse
 import sys
 from pathlib import Path
 
+HUB_REPOS = {"base": "infinity1096/UFM-Base", "refine": "infinity1096/UFM-Refine"}
+OUTPUT_FILES = ("flow_visualization.png", "covisibility_mask.png", "warped_source.png")
 
-def main() -> None:
+
+def _fail(msg: str) -> None:
+    print(msg)
+    sys.exit(1)
+
+
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="UFM-TPU: Unified Dense Correspondence with Flow (TPU-native)", prog="ufm"
+        prog="ufm", description="UFM-TPU: Unified Dense Correspondence with Flow (TPU-native)"
     )
-    subparsers = parser.add_subparsers(dest="command", help="Available commands")
+    sub = parser.add_subparsers(dest="command", help="Available commands")
 
-    demo_parser = subparsers.add_parser("demo", help="Launch interactive Gradio demo")
-    demo_parser.add_argument("--port", type=int, default=7860, help="Port to run demo on (default: 7860)")
-    demo_parser.add_argument("--share", action="store_true", help="Create public sharing link")
-    demo_parser.add_argument("--model", choices=["base", "refine"], default="base")
-    demo_parser.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
+    demo = sub.add_parser("demo", help="Launch interactive Gradio demo")
+    demo.add_argument("--port", type=int, default=7860, help="Port to run demo on (default: 7860)")
+    demo.add_argument("--share", action="store_true", help="Create public sharing link")
+    demo.add_argument("--model", choices=sorted(HUB_REPOS), default="base")
+    demo.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
 
-    infer_parser = subparsers.add_parser("infer", help="Run inference on image pairs")
-    infer_parser.add_argument("source", help="Source image path")
-    infer_parser.add_argument("target", help="Target image path")
-    infer_parser.add_argument("--output", "-o", help="Output directory (default: current directory)")
-    infer_parser.add_argument("--model", choices=["base", "refine"], default="base")
-    infer_parser.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
-    infer_parser.add_argument(
+    infer = sub.add_parser("infer", help="Run inference on image pairs")
+    infer.add_argument("source", help="Source image path")
+    infer.add_argument("target", help="Target image path")
+    infer.add_argument("--output", "-o", help="Output directory (default: current directory)")
+    infer.add_argument("--model", choices=sorted(HUB_REPOS), default="base")
+    infer.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
+    infer.add_argument(
         "--random-init",
         action="store_true",
         help="Run with randomly initialized weights (pipeline smoke test; zero-egress environments)",
     )
 
-    subparsers.add_parser("test", help="Test installation")
+    sub.add_parser("test", help="Test installation")
+    return parser
 
+
+def main() -> None:
+    parser = build_parser()
     args = parser.parse_args()
-
-    if args.command == "demo":
-        launch_demo(args)
-    elif args.command == "infer":
-        run_inference(args)
-    elif args.command == "test":
-        test_installation()
-    else:
+    handler = {"demo": launch_demo, "infer": run_inference, "test": lambda _: test_installation()}.get(args.command)
+    if handler is None:
         parser.print_help()
-
-
-_HUB_REPOS = {"base": "infinity1096/UFM-Base", "refine": "infinity1096/UFM-Refine"}
+        return
+    handler(args)
 
 
 def _load_model(variant: str, checkpoint: str | None, random_init: bool = False):
@@ -69,122 +75,120 @@ def _load_model(variant: str, checkpoint: str | None, random_init: bool = False)
     if random_init:
         cfg = ufm_refine_config() if variant == "refine" else ufm_base_config()
         return cls.from_config(cfg)
-    return cls.from_pretrained(_HUB_REPOS[variant])
+    return cls.from_pretrained(HUB_REPOS[variant])
+
+
+def _read_rgb(path: str):
+    import cv2
+
+    bgr = cv2.imread(path)
+    return None if bgr is None else cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+
+def _write_rgb(path: Path, rgb) -> None:
+    import cv2
+
+    cv2.imwrite(str(path), cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
 
 
 def run_inference(args) -> None:
     try:
-        import cv2
         import numpy as np
 
         from ufm_tpu.utils.viz import flow_to_color, warp_image_with_flow
+    except ImportError as e:
+        _fail(f"Error importing dependencies: {e}")
 
-        source_img = cv2.imread(args.source)
-        target_img = cv2.imread(args.target)
-        if source_img is None or target_img is None:
-            print("Error: Could not load one or both images")
-            sys.exit(1)
+    source_rgb = _read_rgb(args.source)
+    target_rgb = _read_rgb(args.target)
+    if source_rgb is None or target_rgb is None:
+        _fail(f"Error: could not read {args.source if source_rgb is None else args.target}")
 
-        source_rgb = cv2.cvtColor(source_img, cv2.COLOR_BGR2RGB)
-        target_rgb = cv2.cvtColor(target_img, cv2.COLOR_BGR2RGB)
-
+    try:
         model = _load_model(args.model, args.checkpoint, args.random_init)
         print("Running inference...")
-
         result = model.predict_correspondences_batched(source_image=source_rgb, target_image=target_rgb)
-        flow = np.asarray(result.flow.flow_output[0])
-        covisibility = np.asarray(result.covisibility.mask[0])
-
-        output_dir = Path(args.output) if args.output else Path.cwd()
-        output_dir.mkdir(exist_ok=True)
-
-        flow_vis_img = flow_to_color(flow.transpose(1, 2, 0))
-        cv2.imwrite(str(output_dir / "flow_visualization.png"), cv2.cvtColor(flow_vis_img, cv2.COLOR_RGB2BGR))
-        cv2.imwrite(str(output_dir / "covisibility_mask.png"), (covisibility * 255).astype(np.uint8))
-
-        warped = warp_image_with_flow(source_rgb, None, target_rgb, flow.transpose(1, 2, 0))
-        warped = covisibility[..., None] * warped + (1 - covisibility[..., None]) * 255 * np.ones_like(warped)
-        cv2.imwrite(str(output_dir / "warped_source.png"), cv2.cvtColor(warped.astype(np.uint8), cv2.COLOR_RGB2BGR))
-
-        print(f"Results saved to: {output_dir}")
-        print("- flow_visualization.png")
-        print("- covisibility_mask.png")
-        print("- warped_source.png")
-    except ImportError as e:
-        print(f"Error importing dependencies: {e}")
-        sys.exit(1)
     except Exception as e:
-        print(f"Error during inference: {e}")
-        sys.exit(1)
+        _fail(f"Error during inference: {e}")
+
+    flow_hwc = np.asarray(result.flow.flow_output[0]).transpose(1, 2, 0)
+    covis = np.asarray(result.covisibility.mask[0])
+
+    out_dir = Path(args.output) if args.output else Path.cwd()
+    out_dir.mkdir(exist_ok=True)
+
+    # Backward-warp the target into the source frame, whiting out non-covisible
+    # pixels so occlusions read as "no correspondence" in the panel.
+    warped = warp_image_with_flow(source_rgb, None, target_rgb, flow_hwc).astype(np.float32)
+    alpha = covis[..., None]
+    composite = (alpha * warped + (1.0 - alpha) * 255.0).astype(np.uint8)
+
+    _write_rgb(out_dir / OUTPUT_FILES[0], flow_to_color(flow_hwc))
+    _write_rgb(out_dir / OUTPUT_FILES[1], np.repeat((covis * 255).astype(np.uint8)[..., None], 3, axis=-1))
+    _write_rgb(out_dir / OUTPUT_FILES[2], composite)
+
+    print(f"Wrote {len(OUTPUT_FILES)} files to {out_dir}:")
+    for name in OUTPUT_FILES:
+        print(f"  {name}")
 
 
 def launch_demo(args) -> None:
     try:
         from ufm_tpu.demo import create_demo, initialize_model
-
-        print(f"Launching UFM demo with {args.model} model...")
-        print(f"Demo will be available at: http://localhost:{args.port}")
-
-        if not initialize_model(use_refinement=args.model == "refine", checkpoint=args.checkpoint):
-            print("Error: Failed to load model. Check installation and checkpoint availability.")
-            sys.exit(1)
-
-        demo = create_demo()
-        demo.launch(share=args.share, server_port=args.port, server_name="127.0.0.1", show_error=True)
     except ImportError as e:
-        print(f"Error importing demo dependencies: {e}")
-        print("The demo requires gradio: pip install gradio")
-        sys.exit(1)
+        _fail(f"The demo requires gradio ({e}); pip install gradio")
+
+    print(f"Serving the {args.model} model at http://localhost:{args.port}")
+    if not initialize_model(use_refinement=args.model == "refine", checkpoint=args.checkpoint):
+        _fail("Error: model failed to load — check installation and checkpoint availability.")
+    try:
+        create_demo().launch(share=args.share, server_port=args.port, server_name="127.0.0.1", show_error=True)
     except Exception as e:
-        print(f"Error launching demo: {e}")
-        sys.exit(1)
+        _fail(f"Error launching demo: {e}")
 
 
 def test_installation() -> None:
     print("Testing UFM-TPU installation...")
-    try:
-        import jax
+    failures = []
 
-        print(f"+ JAX {jax.__version__}")
-        import flax
-
-        print(f"+ Flax {flax.__version__}")
-        import numpy
-
-        print(f"+ NumPy {numpy.__version__}")
+    def probe(label, fn, required=True):
         try:
-            import cv2
+            detail = fn()
+            print(f"+ {label}" + (f" {detail}" if detail else ""))
+        except Exception as e:  # noqa: BLE001 — a smoke check reports, never raises
+            mark = "x" if required else "!"
+            print(f"{mark} {label}: {e}")
+            if required:
+                failures.append(label)
 
-            print(f"+ OpenCV {cv2.__version__}")
-        except ImportError:
-            print("! OpenCV not available (CLI image IO disabled)")
+    probe("JAX", lambda: __import__("jax").__version__)
+    probe("Flax", lambda: __import__("flax").__version__)
+    probe("NumPy", lambda: __import__("numpy").__version__)
+    probe("OpenCV (CLI image IO)", lambda: __import__("cv2").__version__, required=False)
 
+    def _import_models():
         from ufm_tpu.models import UniFlowMatchConfidence  # noqa: F401
 
-        print("+ UFM-TPU model imports")
+    probe("UFM-TPU model imports", _import_models)
 
-        devices = jax.devices()
+    def _devices():
+        import jax
+
         backend = jax.default_backend()
-        if backend == "tpu":
-            print(f"+ TPU available: {devices}")
-        else:
-            print(f"! No TPU detected; running on {backend} ({len(devices)} devices)")
+        n = len(jax.devices())
+        return f"backend={backend} devices={n}" + ("" if backend == "tpu" else " (no TPU detected)")
 
-        try:
-            from huggingface_hub import hf_hub_download  # noqa: F401
+    probe("Accelerator", _devices, required=False)
+    probe(
+        "HuggingFace Hub importable (network may still be unavailable)",
+        lambda: __import__("huggingface_hub") and "",
+        required=False,
+    )
 
-            print("+ HuggingFace Hub importable (network may still be unavailable)")
-        except Exception:
-            print("! HuggingFace Hub not importable (model downloading disabled)")
-
-        print("\nInstallation test completed successfully!")
-        print("Run 'ufm demo' to launch the interactive demo")
-    except ImportError as e:
-        print(f"x Import error: {e}")
-        sys.exit(1)
-    except Exception as e:
-        print(f"x Unexpected error: {e}")
-        sys.exit(1)
+    if failures:
+        _fail(f"\nInstallation test FAILED: {', '.join(failures)}")
+    print("\nInstallation test completed successfully!")
+    print("Run 'ufm demo' to launch the interactive demo")
 
 
 if __name__ == "__main__":

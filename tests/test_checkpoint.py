@@ -82,9 +82,10 @@ def test_canonicalize_reference_names():
         "head1.0.1.conv1.weight": 4,
         "uncertainty_head.0.0.fusion_2.rcu.conv1.bias": 5,
         "unet_feature.ups.0.weight": 6,   # ConvTranspose
-        "unet_feature.ups.1.conv.0.weight": 7,  # DoubleConv
-        "unet_feature.downs.2.conv.0.weight": 8,
-        "info_sharing.blocks.11.mlp.fc2.bias": 9,
+        "unet_feature.ups.1.conv.0.weight": 7,  # DoubleConv first conv
+        "unet_feature.downs.2.conv.2.weight": 8,  # DoubleConv second conv
+        "unet_feature.final_conv.weight": 9,
+        "info_sharing.blocks.11.mlp.fc2.bias": 10,
     }
     out = canonicalize_reference_names(sd)
     assert "encoder.blocks_3.attn.qkv.weight" in out
@@ -93,6 +94,7 @@ def test_canonicalize_reference_names():
     assert "head1.processor.conv1.weight" in out
     assert "uncertainty_head.feature.fusion_2.rcu.conv1.bias" in out
     assert "unet_feature.up_0.weight" in out
-    assert "unet_feature.up_conv_0.conv.0.weight" in out
-    assert "unet_feature.down_2.conv.0.weight" in out
+    assert "unet_feature.up_conv_0.conv1.weight" in out
+    assert "unet_feature.down_2.conv2.weight" in out
+    assert "unet_feature.final.weight" in out
     assert "info_sharing.blocks_11.mlp.fc2.bias" in out

@@ -43,6 +43,29 @@ def test_bilinear_matches_torch(rng, in_shape, out_shape, antialias):
     np.testing.assert_allclose(got_hwc.transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=5e-3)
 
 
+@pytest.mark.parametrize(
+    "in_shape,out_shape",
+    [
+        ((7, 9), (14, 18)),  # DPT fusion 2x upsample
+        ((15, 20), (30, 40)),
+        ((24, 32), (56, 42)),  # DPT processor decode-to-target (mixed axes)
+        ((5, 5), (9, 13)),
+    ],
+)
+def test_bilinear_align_corners_matches_torch(rng, in_shape, out_shape):
+    """The DPT head upsamples with align_corners=True (dpt.py); pin torch parity."""
+    x = rng.standard_normal((2, 3, *in_shape)).astype(np.float32) * 10
+
+    ref = F.interpolate(torch.from_numpy(x), size=out_shape, mode="bilinear", align_corners=True).numpy()
+    got = np.asarray(resize_chw(jnp.asarray(x), out_shape, antialias=False, align_corners=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    got_hwc = np.asarray(
+        resize_hwc(jnp.asarray(x.transpose(0, 2, 3, 1)), out_shape, antialias=False, align_corners=True)
+    )
+    np.testing.assert_allclose(got_hwc.transpose(0, 3, 1, 2), ref, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("in_shape,out_shape", SHAPES)
 def test_nearest_matches_torch(rng, in_shape, out_shape):
     x = rng.standard_normal((2, 3, *in_shape)).astype(np.float32)

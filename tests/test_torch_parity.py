@@ -165,13 +165,9 @@ def test_unet_forward_parity(rng):
 
     torch.manual_seed(1)
     twin = TorchUNetTwin().eval()
-    # our UNet names convs conv1/conv2 directly; the torch twin nests them in
-    # a Sequential ("conv.0", "conv.2") — map those indices first
-    sd = {}
-    for k, v in twin.state_dict().items():
-        k = k.replace(".conv.0.", ".conv1.").replace(".conv.2.", ".conv2.")
-        k = k.replace("final_conv.", "final.")
-        sd[f"unet_feature.{k}"] = v
+    # raw reference naming (conv.0/conv.2 Sequential indices, final_conv) —
+    # the production canonicalizer must handle it unassisted
+    sd = {f"unet_feature.{k}": v for k, v in twin.state_dict().items()}
 
     ours = UNet(out_channels=4, features=(4, 8))
     x = rng.standard_normal((2, 16, 24, 3)).astype(np.float32)

@@ -102,6 +102,12 @@ _REFERENCE_NAME_RULES: Tuple[Tuple[str, str], ...] = (
     (r"\.blocks\.(\d+)\.", r".blocks_\1."),
     (r"\.patch_embed\.proj\.", ".patch_embed."),
     (r"\.downs\.(\d+)\.", r".down_\1."),
+    # reference UNet internals (unet_encoder.py:15-48): DoubleConv wraps its
+    # two convs in a Sequential named `conv` (indices 0/2; 1/3 are ReLUs),
+    # and the output conv is `final_conv`
+    (r"\.conv\.0\.", ".conv1."),
+    (r"\.conv\.2\.", ".conv2."),
+    (r"\.final_conv\.", ".final."),
 )
 
 

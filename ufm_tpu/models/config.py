@@ -44,6 +44,9 @@ class UFMArchConfig:
     classification_head_kwargs: Dict[str, Any] = dataclasses.field(default_factory=_d)
     temperature: float = 4.0
     use_unet_feature: bool = False
+    # UNet dims; {} keeps the reference's hardcoded UNet(3, 16, [64,128,256,512])
+    # (unet_encoder.py:26 via ufm.py:818) — overridable for tiny test models
+    unet_kwargs: Dict[str, Any] = dataclasses.field(default_factory=_d)
     feature_combine_method: str = "conv"
     refinement_range: int = 5
     # Inference

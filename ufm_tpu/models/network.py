@@ -145,7 +145,7 @@ class UFMNet(nn.Module):
             p = c.refinement_range
             self.classification_bias = self.param("classification_bias", nn.initializers.zeros, (p * p,))
             if c.use_unet_feature:
-                self.unet_feature = UNet(name="unet_feature")
+                self.unet_feature = UNet(name="unet_feature", **_filter_kwargs(UNet, c.unet_kwargs))
                 out_c = self.classification_head.output_dim
                 self.conv1 = nn.Conv(2 * out_c, (1, 1), name="conv1")
                 self.conv2 = nn.Conv(out_c, (1, 1), name="conv2")

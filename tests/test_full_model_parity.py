@@ -243,6 +243,71 @@ def test_predict_pipeline_epe_drift(rng, tmp_path):
     np.testing.assert_allclose(our_cov, cov_unmapped[0].numpy(), rtol=1e-3, atol=1e-3)
 
 
+def test_predict_pipeline_crop_composite_chain(rng, tmp_path):
+    """A Resize+CenterCrop composite chain through the public predict API:
+    the pipeline must run the *selected manipulation* (not hardcoded resize
+    regions) and unmap with the chain's region bookkeeping, matching the
+    reference oracle end to end (reference base.py:255-266,
+    flow_resizing.py:517-744)."""
+    ref_path = "/root/reference/uniflowmatch/utils/flow_resizing.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference tree not mounted")
+    spec = importlib.util.spec_from_file_location("ref_flow_resizing_chain", ref_path)
+    ref_fr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_fr)
+
+    from ufm_tpu.utils.flow_resizing import (
+        AutomaticShapeSelection,
+        CenterCropManipulation,
+        ImagePairsManipulationComposite,
+        ResizeVerticalAxisManipulation,
+    )
+
+    twin, model = _build_pair(_tiny_refine_kwargs(), seed=4, tmp_path=tmp_path)
+    # input 80x100 -> resize vertical axis to 70 (W becomes 87) -> center-crop
+    # to the 56x56 model grid: a genuinely non-identity region chain
+    model.image_scaler = AutomaticShapeSelection(
+        ImagePairsManipulationComposite(ResizeVerticalAxisManipulation(70), CenterCropManipulation((56, 56)))
+    )
+
+    src = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+    ours = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+    our_flow = np.asarray(ours.flow.flow_output[0])
+    our_covis = np.asarray(ours.covisibility.mask[0])
+
+    norm = IMAGE_NORMALIZATION_DICT[model.data_norm_type]
+    mean = np.asarray(norm.mean, dtype=np.float32)
+    std = np.asarray(norm.std, dtype=np.float32)
+
+    def prep(img):
+        return torch.from_numpy(((img.astype(np.float32) / 255.0 - mean) / std)[None])
+
+    oracle = ref_fr.AutomaticShapeSelection(
+        ref_fr.ImagePairsManipulationComposite(
+            ref_fr.ResizeVerticalAxisManipulation(70), ref_fr.CenterCropManipulation((56, 56))
+        )
+    )
+    s0, s1, reg0_src, reg1_src, reg0_rep, reg1_rep = oracle(prep(src), prep(tgt))
+    with torch.no_grad():
+        raw = twin(s0.permute(0, 3, 1, 2), s1.permute(0, 3, 1, 2))
+
+    flow_unmapped, validity = ref_fr.unmap_predicted_flow(
+        raw["flow"], reg0_rep, reg1_rep, reg0_src, reg1_src, (80, 100), (80, 100)
+    )
+    covis_unmapped, _ = ref_fr.unmap_predicted_channels(
+        raw["covis_mask"][:, None], reg0_rep, reg0_src, (80, 100)
+    )
+
+    # the crop chain leaves a border of invalid pixels — both sides must zero it
+    v = validity[0].numpy()
+    assert not v.all() and v.any(), "chain should produce a partial-validity canvas"
+    epe = np.linalg.norm(our_flow - flow_unmapped[0].numpy(), axis=0)
+    assert epe.mean() < 0.01, f"mean EPE drift {epe.mean():.4f}"
+    assert epe.max() < 0.1, f"max EPE drift {epe.max():.4f}"
+    np.testing.assert_allclose(our_covis, covis_unmapped[0, 0].numpy(), atol=1e-4)
+
+
 def test_confidence_variant_checkpoint_parity(rng, tmp_path):
     """Same harness for the UFM-Base-class confidence variant (no
     classification head): ensures parity isn't carried by refine-only paths."""

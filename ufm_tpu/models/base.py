@@ -178,20 +178,48 @@ class UniFlowMatchModelsBase:
         raise NotImplementedError
 
     def _build_pipeline(self, src_shape, tgt_shape, dtype_str, data_norm_type):
-        key = (tuple(src_shape), tuple(tgt_shape), dtype_str, data_norm_type)
+        # id(image_scaler): a reassigned scaler (e.g. a crop/composite chain)
+        # must not reuse pipelines compiled for the old one
+        key = (tuple(src_shape), tuple(tgt_shape), dtype_str, data_norm_type, id(self.image_scaler))
         if key in self._pipeline_cache:
             return self._pipeline_cache[key]
 
         h0, w0 = src_shape[2], src_shape[3]
         h1, w1 = tgt_shape[2], tgt_shape[3]
         (th0, tw0, th1, tw1), manipulation = self.image_scaler.select(h0, w0, h1, w1)
+        assert manipulation is not None, f"no manipulation accepts inputs {(h0, w0)}/{(h1, w1)}"
         assert (th0, tw0) == (th1, tw1), "both views share the model resolution"
 
-        # static region bookkeeping (identical to running the manipulation)
-        src_region_source = np.array([0, h0, 0, w0], dtype=np.float64)
-        tgt_region_source = np.array([0, h1, 0, w1], dtype=np.float64)
-        src_region_repr = np.array([0, th0, 0, tw0], dtype=np.int64)
-        tgt_region_repr = np.array([0, th1, 0, tw1], dtype=np.int64)
+        from ufm_tpu.utils.flow_resizing import _identity_regions
+
+        def _run_manipulation(src_bhwc, tgt_bhwc):
+            """The selected manipulation, exactly as the reference runs it
+            (base.py:255-266): image ops trace into the pipeline, region
+            bookkeeping happens host-side on static shapes."""
+            return manipulation(
+                src_bhwc,
+                tgt_bhwc,
+                _identity_regions(h0, w0),
+                _identity_regions(h1, w1),
+                _identity_regions(h0, w0),
+                _identity_regions(h1, w1),
+            )
+
+        # extract the static region vectors without any device compute
+        region_cell = {}
+
+        def _probe(a, b):
+            out = _run_manipulation(a, b)
+            region_cell["regions"] = out[2:]
+            return out[0]
+
+        b0, b1 = src_shape[0], tgt_shape[0]
+        jax.eval_shape(
+            _probe,
+            jax.ShapeDtypeStruct((b0, h0, w0, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b1, h1, w1, 3), jnp.float32),
+        )
+        src_region_source, tgt_region_source, src_region_repr, tgt_region_repr = region_cell["regions"]
 
         required = self.data_norm_type
         req = IMAGE_NORMALIZATION_DICT[required]
@@ -203,8 +231,6 @@ class UniFlowMatchModelsBase:
             prev_std = jnp.asarray(prev.std)
         else:
             prev_mean = prev_std = None
-
-        from ufm_tpu.ops.resize import resize_hwc  # local import to avoid cycle
 
         network_fn = self._network_fn()
 
@@ -219,9 +245,10 @@ class UniFlowMatchModelsBase:
                 src = src * (prev_std / req_std) + (prev_mean - req_mean) / req_std
                 tgt = tgt * (prev_std / req_std) + (prev_mean - req_mean) / req_std
 
-            # antialias resize to the model grid (reference base.py:255-266)
-            src_s = resize_hwc(src, (th0, tw0), antialias=True)
-            tgt_s = resize_hwc(tgt, (th1, tw1), antialias=True)
+            # run the selected manipulation to the model grid (reference
+            # base.py:255-266) — resize chains, crops, composites all flow
+            # through here with exact region bookkeeping
+            src_s, tgt_s = _run_manipulation(src, tgt)[:2]
 
             raw = network_fn(params, src_s, tgt_s)
 

@@ -54,3 +54,23 @@ def test_flash_attention_gradients_match_xla():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for gf, gx, name in zip(g_flash, g_xla, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_vmem_guard_fallback():
+    """An oversized key sequence must take the XLA fallback (never the
+    single-pass kernel whose K/V slice would exceed VMEM) and stay exact."""
+    from ufm_tpu.ops import flash_attention as fa
+
+    assert fa.fits_vmem_single_pass(2_560, 64, 128, 2)  # model shapes: fine
+    assert not fa.fits_vmem_single_pass(40_000, 128, 128, 4)  # would spill
+
+    # tiny dims but a budget forced down so the guard must trip
+    orig = fa._VMEM_BUDGET_BYTES
+    fa._VMEM_BUDGET_BYTES = 1 << 12
+    try:
+        q = jnp.asarray(np.random.default_rng(0).standard_normal((1, 96, 2, 32)), jnp.float32)
+        out = flash_attention(q, q, q)  # would be the pallas path normally
+        ref = _xla_attention(q, q, q, 32**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    finally:
+        fa._VMEM_BUDGET_BYTES = orig

@@ -98,3 +98,102 @@ def test_canonicalize_reference_names():
     assert "unet_feature.down_2.conv2.weight" in out
     assert "unet_feature.final.weight" in out
     assert "info_sharing.blocks_11.mlp.fc2.bias" in out
+
+
+# ---------------------------------------------------------------------------
+# HF config.json fixtures: the hub config is the single source of
+# architecture truth (reference ufm.py:120 via PyTorchModelHubMixin,
+# SURVEY.md §3.5) — from_pretrained must honor every reference constructor
+# key, tolerate hub/bookkeeping extras, and hard-fail on load-bearing
+# encoder options it can't build.
+# ---------------------------------------------------------------------------
+
+def _hub_style_config_json(tmp_path, extra_encoder_kwargs=None):
+    """Save a tiny model, then rewrite its config.json the way the HF mixin
+    writes the reference's (full constructor-kwargs schema, ufm.py:483-508,
+    plus hub extras and UniCeption-style encoder bookkeeping keys)."""
+    import json
+    import os
+
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    d = str(tmp_path / "hub_ckpt")
+    model.save_pretrained(d)
+
+    with open(os.path.join(d, "config.json")) as f:
+        cfg = json.load(f)
+    # hub mixin extras the loader must ignore
+    cfg["_name_or_path"] = "infinity1096/UFM-Base"
+    cfg["architectures"] = ["UniFlowMatchConfidence"]
+    cfg["transformers_version"] = "4.44.0"
+    cfg["torch_dtype"] = "float32"
+    # reference constructor keys our wrapper must accept verbatim
+    cfg["encoder_skip_connection"] = None
+    cfg["info_sharing_skip_connection"] = None
+    cfg["pretrained_backbone_checkpoint_path"] = None
+    cfg["pretrained_checkpoint_path"] = None
+    # UniCeption-style encoder bookkeeping keys (benign; must not error)
+    cfg["encoder_kwargs"].update(
+        {"name": "dinov2", "uses_torch_hub": False, "data_norm_type": "dinov2", "num_register_tokens": 0}
+    )
+    if extra_encoder_kwargs:
+        cfg["encoder_kwargs"].update(extra_encoder_kwargs)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    return model, d
+
+
+def test_from_pretrained_hub_style_config(tmp_path, rng):
+    """Full reference-schema config.json with hub extras loads and predicts
+    identically to the saved model."""
+    import jax.numpy as jnp
+
+    ref_model, d = _hub_style_config_json(tmp_path)
+    loaded = UniFlowMatchConfidence.from_pretrained(d)
+    assert loaded.config.encoder_kwargs["embed_dim"] == ref_model.config.encoder_kwargs["embed_dim"]
+    assert loaded.inference_resolution == ref_model.inference_resolution
+
+    img = rng.standard_normal((1, 42, 56, 3)).astype(np.float32)
+    a = ref_model.net.apply({"params": ref_model.params}, jnp.asarray(img), jnp.asarray(img))
+    b = loaded.net.apply({"params": loaded.params}, jnp.asarray(img), jnp.asarray(img))
+    np.testing.assert_allclose(np.asarray(a["flow"]), np.asarray(b["flow"]), atol=1e-6)
+
+
+def test_from_pretrained_rejects_load_bearing_unknown_encoder_kwargs(tmp_path):
+    """An encoder option that would change the architecture (e.g. DINOv2
+    register tokens) must hard-fail, not silently build the wrong network."""
+    _, d = _hub_style_config_json(tmp_path, extra_encoder_kwargs={"num_register_tokens": 4})
+    with pytest.raises(ValueError, match="load-bearing"):
+        UniFlowMatchConfidence.from_pretrained(d)
+
+
+def test_encoder_factory_presets_and_aliases():
+    from ufm_tpu.nn.encoders import feature_returner_encoder_factory
+
+    enc = feature_returner_encoder_factory("dinov2_large", intermediate_layer_idx=(0, 23))
+    assert (enc.embed_dim, enc.depth, enc.num_heads) == (1024, 24, 16)
+
+    # UniCeption-style: size selector + timm aliases + benign keys
+    enc = feature_returner_encoder_factory(
+        "dinov2", size="base", init_values=1e-4, img_size=518, uses_torch_hub=False, name="dinov2"
+    )
+    assert (enc.embed_dim, enc.depth, enc.num_heads) == (768, 12, 12)
+    assert enc.layerscale_init == 1e-4
+    assert enc.pretrain_grid_size == 37
+
+    with pytest.raises(ValueError, match="load-bearing"):
+        feature_returner_encoder_factory("dinov2_large", ffn_layer="swiglu")
+
+
+def test_flagship_config_schema_builds_expected_architecture():
+    """The flagship UFM-Base-class constructor kwargs (reference schema,
+    ufm.py:483-508) build the intended module dims without init."""
+    from ufm_tpu.models import ufm_base_config
+
+    cfg = ufm_base_config()
+    model = UniFlowMatchConfidence(**{k: v for k, v in cfg.to_dict().items() if k not in (
+        "has_uncertainty_head", "has_classification_head")})
+    assert model.net.cfg.info_sharing_kwargs["dim"] == 768
+    assert model.net.cfg.has_uncertainty_head
+    assert model.inference_resolution == [(560, 420)]
+    assert list(model.net.cfg.uncertainty_adaptors_kwargs) == [
+        "flow_cov", "keypoint_confidence", "non_occluded_mask"]

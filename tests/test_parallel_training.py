@@ -84,3 +84,34 @@ def test_data_parallel_inference_matches_single(tiny_net_and_params, rng):
     np.testing.assert_allclose(
         np.asarray(sharded["flow"]), np.asarray(single["flow"]), rtol=1e-4, atol=1e-4
     )
+
+
+def test_tp_fsdp_forward_matches_single(tiny_net_and_params, rng):
+    """A model=2 / fsdp=2 / data=2 sharded *forward* must match single-device
+    numerics — pins the TP regex rules + FSDP fallback against silent
+    partition errors (XLA SPMD should only change layout, never math)."""
+    import jax.numpy as jnp
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    net, params = tiny_net_and_params
+    img1 = jnp.asarray(rng.standard_normal((4, 42, 56, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((4, 42, 56, 3)).astype(np.float32))
+
+    single = net.apply({"params": params}, img1, img2)
+
+    mesh = make_mesh(8, data=2, fsdp=2, model=2)
+    shardings, placed = shard_params(params, mesh)
+    batch_spec = NamedSharding(mesh, P("data"))
+
+    fwd = jax.jit(
+        lambda p, a, b: net.apply({"params": p}, a, b),
+        in_shardings=(shardings, batch_spec, batch_spec),
+    )
+    with mesh:
+        sharded = fwd(placed, jax.device_put(img1, batch_spec), jax.device_put(img2, batch_spec))
+
+    for key in single:
+        np.testing.assert_allclose(
+            np.asarray(sharded[key]), np.asarray(single[key]), rtol=2e-4, atol=2e-4, err_msg=key
+        )

@@ -88,7 +88,15 @@ def interleave(t1: jnp.ndarray, t2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarr
 
 
 def _filter_kwargs(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
-    known = set(cls.__dataclass_fields__)
+    # `name`/`parent` are flax module-tree plumbing, never config surface
+    known = set(cls.__dataclass_fields__) - {"name", "parent"}
+    dropped = set(kwargs) - known
+    if dropped:
+        # Not fatal (the strict checkpoint merge catches real architecture
+        # mismatches at load time), but never silent.
+        import warnings
+
+        warnings.warn(f"{cls.__name__}: ignoring unsupported config keys {sorted(dropped)}", stacklevel=2)
     return {k: v for k, v in kwargs.items() if k in known}
 
 

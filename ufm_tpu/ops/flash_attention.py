@@ -23,9 +23,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "fits_vmem_single_pass"]
 
 _LANE = 128
+# TPU VMEM is ~16 MiB/core; leave headroom for the compiler's own buffers.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_bytes_estimate(sk_pad: int, d: int, block_q: int, itemsize: int) -> int:
+    """Worst-case VMEM residency of one grid step of the single-pass kernel:
+    K+V slices and Q+O blocks (×2 for pipeline double-buffering) plus the
+    fp32 score tile and its softmax copy."""
+    kv = 2 * sk_pad * d * itemsize * 2
+    qo = 2 * block_q * d * itemsize * 2
+    scores = 2 * block_q * sk_pad * 4
+    return kv + qo + scores
+
+
+def fits_vmem_single_pass(sk: int, d: int, block_q: int, itemsize: int) -> bool:
+    sk_pad = ((sk + _LANE - 1) // _LANE) * _LANE
+    return _vmem_bytes_estimate(sk_pad, d, block_q, itemsize) <= _VMEM_BUDGET_BYTES
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
@@ -86,6 +103,16 @@ def flash_attention(
         block_q = min(1280, max(_LANE, (vmem_budget // (sk_pad_est * 4)) // _LANE * _LANE))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+
+    # Guard the single-pass design's VMEM assumption: if the whole K/V slice
+    # plus the smallest score tile can't fit, the kernel would spill or fail
+    # opaquely at compile time — fall back to the exact XLA path instead
+    # (numerically identical; slower but correct at any sequence length).
+    if not fits_vmem_single_pass(sk, d, min(int(block_q), _LANE), q.dtype.itemsize):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
     return _flash_attention_vjp(q, k, v, float(scale), int(block_q), bool(interpret))
 
 

@@ -62,11 +62,14 @@ def make_optimizer(
             for k, v in p.items()
         }
 
+    # Per-group LR = schedule * scale, expressed as the group's own adamw
+    # schedule (torch per-group-lr semantics: the decoupled weight decay steps
+    # with the group's lr). A trailing optax.scale would instead rescale the
+    # already-combined update — subtly different, so avoided.
     transforms = {
         g: optax.chain(
             optax.clip_by_global_norm(1.0),
-            optax.adamw(schedule, weight_decay=weight_decay),
-            optax.scale(s),
+            optax.adamw(lambda n, _s=s: schedule(n) * _s, weight_decay=weight_decay),
         )
         for g, s in scales.items()
     }
@@ -106,6 +109,13 @@ def make_sharded_train_step(
     Params/optimizer state live sharded on the mesh (fsdp/model axes); the
     batch shards on the data axis; XLA SPMD inserts all collectives.
     """
+    # Decouple from the caller's arrays before placing: the jitted step
+    # donates its param/opt-state buffers, and on same-device placements
+    # device_put can alias the input — donation would silently invalidate the
+    # caller's copy.
+    import numpy as np
+
+    params = jax.tree.map(lambda x: np.array(x), params)
     param_shardings, placed_params = shard_params(params, mesh)
     opt_state = optimizer.init(placed_params)
 

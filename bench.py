@@ -115,6 +115,34 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
+    # On-chip batch-1 latency: time a scan of N sequential forwards (the
+    # carry serializes them) at two lengths and take the delta — the
+    # dispatch/tunnel constant cancels exactly, leaving N2-N1 pure forwards.
+    def scan_b1(n):
+        @jax.jit
+        def run(p, i1, i2):
+            def body(carry, _):
+                return carry + one_forward(p, i1 + carry * 1e-12, i2), None
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return acc
+
+        return run
+
+    n1, n2 = 4, 12
+    run1, run2 = scan_b1(n1), scan_b1(n2)
+    sync(run1(params, img1[:1], img2[:1]))  # compile
+    sync(run2(params, img1[:1], img2[:1]))
+    deltas = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(run1(params, img1[:1], img2[:1]))
+        t1 = time.perf_counter()
+        sync(run2(params, img1[:1], img2[:1]))
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    p50_onchip_ms = float(np.median(deltas) * 1e3)
+
     vs_baseline = None
     baseline_info = {}
     if os.path.exists(BASELINE_FILE):
@@ -132,6 +160,7 @@ def main() -> None:
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
                 "p50_latency_ms_batch1": round(p50_ms, 2),
+                "p50_latency_ms_batch1_onchip": round(p50_onchip_ms, 2),
                 "batch": batch,
                 "inner_iters": inner_iters,
                 "device": str(jax.devices()[0]),

@@ -17,6 +17,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 
+# Persistent compilation cache: the suite is dominated by XLA CPU compiles of
+# tiny models (single host core); caching them across runs cuts wall time ~3x.
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import numpy as np
 import pytest
 

@@ -74,3 +74,29 @@ def test_vmem_guard_fallback():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
     finally:
         fa._VMEM_BUDGET_BYTES = orig
+
+
+def test_pallas_attention_under_spmd_mesh():
+    """The kernel's custom_partitioning: under a head-sharded mesh the pallas
+    path must run per-shard (batch/head parallel) and match XLA numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ufm_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 64, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+
+    ref = _xla_attention(q, k, v, d**-0.5)
+
+    mesh = make_mesh(8, data=2, fsdp=1, model=4)
+    head_sharded = NamedSharding(mesh, P("data", None, "model", None))
+    fwd = jax.jit(
+        lambda a, b_, c: flash_attention(a, b_, c),
+        in_shardings=(head_sharded, head_sharded, head_sharded),
+    )
+    with mesh:
+        out = fwd(jax.device_put(q, head_sharded), jax.device_put(k, head_sharded), jax.device_put(v, head_sharded))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

@@ -21,7 +21,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["flash_attention", "fits_vmem_single_pass"]
 
@@ -116,13 +118,57 @@ def flash_attention(
     return _flash_attention_vjp(q, k, v, float(scale), int(block_q), bool(interpret))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_vjp(q, k, v, scale, block_q, interpret):
+# --- SPMD partitioning -------------------------------------------------------
+# Under a sharded jit (TP/DP meshes), a pallas_call has no partitioning rule,
+# so XLA would all-gather the operands and run the kernel replicated. Softmax
+# attention is independent over batch and heads, so declare exactly that:
+# shard on (batch, heads), replicate (seq, head_dim), run the kernel
+# per-shard on local data — collectives never touch the attention.
+
+
+def _attn_spec(sharding) -> P:
+    spec = tuple(getattr(sharding, "spec", ()) or ())
+    spec = spec + (None,) * (4 - len(spec))
+    return P(spec[0], None, spec[2], None)
+
+
+def _spmd_infer_sharding(scale, block_q, interpret, mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, _attn_spec(arg_shapes[0].sharding))
+
+
+def _spmd_partition(scale, block_q, interpret, mesh, arg_shapes, result_shape):
+    spec = _attn_spec(arg_shapes[0].sharding)
+    arg_shardings = tuple(NamedSharding(mesh, spec) for _ in range(3))
+    out_sharding = NamedSharding(mesh, spec)
+
+    def lower_fn(q, k, v):
+        return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
+def _flash_attention_spmd(q, k, v, scale, block_q, interpret):
     return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
 
 
+_flash_attention_spmd.def_partition(
+    infer_sharding_from_operands=_spmd_infer_sharding,
+    partition=_spmd_partition,
+    # Shardy propagation rule (einsum-style): batch/head factors are shared
+    # and shardable; the seq/head_dim factors are private to each operand in
+    # this model's meshes (never sharded).
+    sharding_rule="b s h d, b t h d, b t h d -> b s h d",
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_vjp(q, k, v, scale, block_q, interpret):
+    return _flash_attention_spmd(q, k, v, scale, block_q, interpret)
+
+
 def _flash_attention_fwd(q, k, v, scale, block_q, interpret):
-    out = _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+    out = _flash_attention_spmd(q, k, v, scale, block_q, interpret)
     return out, (q, k, v)
 
 

@@ -49,6 +49,9 @@ class UFMArchConfig:
     unet_kwargs: Dict[str, Any] = dataclasses.field(default_factory=_d)
     feature_combine_method: str = "conv"
     refinement_range: int = 5
+    # Window-dots implementation for the refinement stage: "auto" picks the
+    # Pallas TPU kernel when shape-eligible, else the portable XLA path
+    refinement_impl: str = "auto"
     # Inference
     inference_resolution: Union[Tuple[int, int], List[Tuple[int, int]]] = (560, 420)  # (W, H)
     # Precision policy: backbone compute dtype; heads always fp32 (reference

@@ -286,6 +286,7 @@ class UFMNet(nn.Module):
                     self.classification_bias,
                     c.temperature,
                     c.refinement_range,
+                    impl=getattr(c, "refinement_impl", "auto"),
                 )
             out["regression_flow"] = flow
             flow = flow + residual

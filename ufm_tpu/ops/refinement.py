@@ -26,6 +26,8 @@ sample position c exactly (ufm.py:1164-1166).
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Tuple
 
 import jax
@@ -160,6 +162,7 @@ def fused_refinement_attention(
     classification_bias: jnp.ndarray,
     temperature: float,
     local_patch: int = 5,
+    impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused sampler+attention (no neighborhood materialization).
 
@@ -167,7 +170,86 @@ def fused_refinement_attention(
     classification_bias: (P*P,). Returns (residual (B, H, W, 2),
     log_softmax (B, H, W, P, P)) — numerically equal to the
     obtain_neighborhood_features + refinement_attention composition.
+
+    ``impl``: "xla" (portable reference path), "pallas" (TPU window-dots
+    kernel, ops/window_dots.py; same math, backward runs the XLA VJP), or
+    "auto" (pallas on TPU when the shape qualifies). Env override:
+    ``UFM_REFINE_IMPL``.
     """
+    impl = os.environ.get("UFM_REFINE_IMPL", impl)
+    if impl == "auto":
+        from ufm_tpu.ops.window_dots import supports_pallas_window
+
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and supports_pallas_window(target_features.shape[-1], local_patch)
+            else "xla"
+        )
+    if impl == "pallas":
+        return _fused_refinement_pallas(
+            query_features.astype(jnp.float32),
+            target_features.astype(jnp.float32),
+            flow.astype(jnp.float32),
+            classification_bias,
+            float(temperature),
+            int(local_patch),
+        )
+    return _fused_refinement_xla(
+        query_features, target_features, flow, classification_bias, temperature, local_patch
+    )
+
+
+def _scores_tail(
+    scores: jnp.ndarray, classification_bias: jnp.ndarray, temperature: float, p: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared tail: raw window scores -> (residual, log_softmax)."""
+    b, h, w = scores.shape[:3]
+    scores = scores / temperature + classification_bias.reshape(p, p)
+    flat_scores = scores.reshape(b, h, w, p * p)
+    attn = jax.nn.softmax(flat_scores, axis=-1)
+    log_softmax = jax.nn.log_softmax(flat_scores, axis=-1).reshape(b, h, w, p, p)
+    offs = neighborhood_offsets_xy(p).reshape(p * p, 2)
+    residual = attn @ offs
+    return residual, log_softmax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_refinement_pallas(query_features, target_features, flow, bias, temperature, p):
+    from ufm_tpu.ops.window_dots import window_scores_pallas
+
+    scores = window_scores_pallas(query_features, target_features, flow, p)
+    return _scores_tail(scores, bias, temperature, p)
+
+
+def _fused_refinement_pallas_fwd(query_features, target_features, flow, bias, temperature, p):
+    out = _fused_refinement_pallas(query_features, target_features, flow, bias, temperature, p)
+    return out, (query_features, target_features, flow, bias)
+
+
+def _fused_refinement_pallas_bwd(temperature, p, residuals, cotangents):
+    q, f, flow, bias = residuals
+    _, vjp = jax.vjp(
+        lambda q_, f_, flow_, bias_: _fused_refinement_xla(q_, f_, flow_, bias_, temperature, p),
+        q,
+        f,
+        flow,
+        bias,
+    )
+    return vjp(cotangents)
+
+
+_fused_refinement_pallas.defvjp(_fused_refinement_pallas_fwd, _fused_refinement_pallas_bwd)
+
+
+def _fused_refinement_xla(
+    query_features: jnp.ndarray,
+    target_features: jnp.ndarray,
+    flow: jnp.ndarray,
+    classification_bias: jnp.ndarray,
+    temperature: float,
+    local_patch: int = 5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     assert local_patch % 2 == 1, "local_patch must be odd"
     p = local_patch
     r = (p - 1) // 2
@@ -196,11 +278,4 @@ def fused_refinement_attention(
     # then y: -> (B,H,W,P,P) indexed [i, j] = (row offset i-R, col offset j-R)
     scores = sum(wy[..., l, None, None] * jax.lax.dynamic_slice_in_dim(sx, l, p, axis=3) for l in range(4))
 
-    scores = scores / temperature + classification_bias.reshape(p, p)
-    flat_scores = scores.reshape(b, h, w, p * p)
-    attn = jax.nn.softmax(flat_scores, axis=-1)
-    log_softmax = jax.nn.log_softmax(flat_scores, axis=-1).reshape(b, h, w, p, p)
-
-    offs = neighborhood_offsets_xy(p).reshape(p * p, 2)
-    residual = attn @ offs
-    return residual, log_softmax
+    return _scores_tail(scores, classification_bias, temperature, p)

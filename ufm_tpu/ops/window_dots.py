@@ -1,0 +1,285 @@
+"""Pallas TPU kernel for the refinement window-dots gather.
+
+The classification-refinement stage (reference semantics
+uniflowmatch/models/ufm.py:1041-1178) needs, per pixel, the dot products
+between the source feature q(p) and the bicubically-sampled target features
+at a P×P window around the flow-displaced position — which reduces to the
+(P+3)² integer taps ``dots[v,u] = <q(p), F[yb(p)+v, xb(p)+u]>`` (see
+ops/refinement.py). As XLA gathers this is element-throughput-bound: every
+formulation measured on v5e moves the same ~64·C elements/pixel at ~8
+elements/cycle (~60 ms per 2×560×420 refinement at C=16).
+
+This kernel beats that by keeping the *entire padded target feature map
+resident in VMEM* (C=16 at 560×420 → ~17 MB fp32; v5e VMEM is ~128 MB) and
+loading each pixel's window as full (16, 256) vector tiles:
+
+  * All dynamic offsets are hardware-aligned by construction — the x tap
+    base is rounded down to a 128-lane boundary (the true offset ``s`` is
+    resolved in the XLA epilogue), and the row base is rounded down to the
+    8-sublane boundary (resolved by a cheap dynamic sublane roll of the
+    per-pixel (16, T) result). Mosaic cannot lower unaligned dynamic starts.
+  * Zero padding of the feature map replaces all edge masking: taps outside
+    the image read zeros, exactly matching the XLA path's masked gathers.
+    Positions are pre-clamped to [-(r+4), dim + r+4], which cannot change
+    any in-range tap and keeps fully-out-of-range windows all-zero.
+  * The channel reduction *and* lane compaction for all 8 pixels of a group
+    happen in ONE (128, 256) @ (256, T) MXU matmul (2 K-passes per 8 pixels)
+    against a static 0/1 selection matrix.
+
+Measured on v5e at 420×560×C16: ~64 cyc/pixel for the per-pixel-matmul
+variant, ~16 ms/image; this batched-matmul variant is the production one.
+The kernel emits per pixel 8 row taps × T=256/C column taps; the XLA
+epilogue applies the separable bicubic combination (with the per-pixel
+``s`` shift folded into the x weights), temperature, bias, softmax and the
+offset-weighted residual — identical math to the XLA fused path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ufm_tpu.ops.grid_sample import cubic_weights
+
+__all__ = ["window_scores_pallas", "supports_pallas_window"]
+
+_LANES = 256  # window width in lanes: two 128-lane tiles
+
+
+def supports_pallas_window(c: int, local_patch: int) -> bool:
+    """The kernel loads (16, 256)-lane windows; the emitted tap count
+    T = 256/C must cover the worst-case aligned offset plus the P+3 taps."""
+    if c not in (4, 8, 16) or _LANES % c:
+        return False
+    taps = _LANES // c
+    gpx = 128 // c  # x alignment granularity in pixels
+    return (gpx - 1) + local_patch + 3 <= taps
+
+
+def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int, precision):
+    c = _LANES // taps
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 0) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 1)
+    ).astype(jnp.float32)
+
+    def body(g, carry):
+        prods = []
+        subrow = []
+        for i in range(8):
+            x = g * 8 + i
+            yb = yb_ref[0, 0, x]
+            xo = xo_ref[0, 0, x]
+            subrow.append(yb & 7)
+            ya = pl.multiple_of((yb >> 3) << 3, 8)
+            blk = f_ref[0, pl.ds(ya, 16), pl.ds(pl.multiple_of(xo, 128), _LANES)]
+            qt = q_ref[0, 0, pl.ds(pl.multiple_of(x * _LANES, 128), _LANES)]
+            prods.append(blk * jnp.broadcast_to(qt.reshape(1, _LANES), (16, _LANES)))
+        stacked = jnp.concatenate(prods, axis=0)  # (128, 256)
+        dots = jnp.dot(stacked, sel, preferred_element_type=jnp.float32, precision=precision)
+        outs = []
+        for i in range(8):
+            d16 = pltpu.roll(dots[16 * i : 16 * i + 16, :], shift=-subrow[i], axis=0)
+            outs.append(d16[0:8, :])
+        row = jnp.concatenate(outs, axis=1)  # (8, 8*taps)
+        o_ref[0, 0, 0:8, pl.ds(pl.multiple_of(g * 8 * taps, 128), 8 * taps)] = row
+        return carry
+
+    jax.lax.fori_loop(0, groups, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "c", "hp", "wp", "taps", "precision", "interpret")
+)
+def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret):
+    """(B,h,wk) bases + padded map -> (B, h, 8, wk*taps) tap dot products."""
+    b = f_pad.shape[0]
+    wk = yb.shape[-1]
+    kernel = functools.partial(
+        _dots_kernel, groups=wk // 8, taps=taps, precision=precision
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, wk), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, wk), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hp, wp * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wk * _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, wk * taps), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, 8, wk * taps), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(yb, xo, f_pad, q_rep)
+
+
+def window_scores_pallas(
+    query_features: jnp.ndarray,
+    target_features: jnp.ndarray,
+    flow: jnp.ndarray,
+    local_patch: int,
+    *,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Raw window scores (B, H, W, P, P) — Σ_lm wy_l wx_m dots[i+l, j+m] —
+    numerically matching the XLA fused path before temperature/bias/softmax.
+
+    query_features/target_features: (B, H, W, C) float; flow: (B, H, W, 2) xy.
+    """
+    assert supports_pallas_window(target_features.shape[-1], local_patch), (
+        target_features.shape,
+        local_patch,
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _window_scores_spmd(
+        query_features.astype(jnp.float32),
+        target_features.astype(jnp.float32),
+        flow.astype(jnp.float32),
+        int(local_patch),
+        precision,
+        bool(interpret),
+    )
+
+
+# Under a sharded jit, a pallas_call has no partitioning rule and GSPMD would
+# all-gather the operands. The op is independent per image: shard the batch
+# axis, replicate the rest, run per-shard (same treatment as flash_attention).
+
+
+def _batch_spec(sharding, ndim: int) -> P:
+    spec = tuple(getattr(sharding, "spec", ()) or ())
+    spec = spec + (None,) * (ndim - len(spec))
+    return P(spec[0], *([None] * (ndim - 1)))
+
+
+def _ws_infer_sharding(p, precision, interpret, mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, _batch_spec(arg_shapes[0].sharding, 5))
+
+
+def _ws_partition(p, precision, interpret, mesh, arg_shapes, result_shape):
+    b_axis = _batch_spec(arg_shapes[0].sharding, 4)[0]
+    arg_shardings = tuple(
+        NamedSharding(mesh, P(b_axis, *([None] * (len(s.shape) - 1)))) for s in arg_shapes
+    )
+    out_sharding = NamedSharding(mesh, P(b_axis, None, None, None, None))
+
+    def lower_fn(q, f, flow):
+        return _window_scores_impl(q, f, flow, p, precision, interpret)
+
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
+def _window_scores_spmd(q, f, flow, p, precision, interpret):
+    return _window_scores_impl(q, f, flow, p, precision, interpret)
+
+
+_window_scores_spmd.def_partition(
+    infer_sharding_from_operands=_ws_infer_sharding,
+    partition=_ws_partition,
+    sharding_rule="b h w c, b h w c, b h w k -> b h w i j",
+)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _window_scores_impl(query_features, target_features, flow, local_patch, precision, interpret):
+    p = local_patch
+    r = (p - 1) // 2
+    b, h, w, c = target_features.shape
+    taps = _LANES // c
+    gpx = 128 // c
+
+    q = query_features
+    f = target_features
+
+    # Pixel-space target positions, clamped so that integer tap bases stay
+    # inside the padded map; windows that were fully outside the image stay
+    # fully outside (all-zero taps), so scores are unchanged by the clamp.
+    from ufm_tpu.ops.refinement import base_grid  # local import: avoid cycle
+
+    m = r + 4
+    pos = flow.astype(jnp.float32) + base_grid(h, w)[None]
+    pos_x = jnp.clip(pos[..., 0], -float(m), float(w + m))
+    pos_y = jnp.clip(pos[..., 1], -float(m), float(h + m))
+
+    pad_t = pad_l = 2 * r + 5
+    pad_b = m - r + 15
+    pad_r = m - r - 1 + taps
+    hp, wp = h + pad_t + pad_b, w + pad_l + pad_r
+
+    x0 = jnp.floor(pos_x)
+    y0 = jnp.floor(pos_y)
+    tx = pos_x - x0
+    ty = pos_y - y0
+    xb = x0.astype(jnp.int32) - r - 1 + pad_l  # leftmost tap, padded coords
+    yb = y0.astype(jnp.int32) - r - 1 + pad_t
+    xa = (xb // gpx) * gpx
+    s = xb - xa  # in [0, gpx)
+
+    f_pad = jnp.pad(f, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+    f_pad = f_pad.reshape(b, hp, wp * c)
+    q_rep = jnp.broadcast_to(q[:, :, :, None, :], (b, h, w, taps, c)).reshape(b, h, w * _LANES)
+
+    # Pad the pixel axis to a multiple of the 8-pixel group (bases point at
+    # the always-valid padded origin; results are sliced off).
+    wk = ((w + 7) // 8) * 8
+    if wk != w:
+        pad_px = ((0, 0), (0, 0), (0, wk - w))
+        yb_k = jnp.pad(yb, pad_px)
+        xa_k = jnp.pad(xa, pad_px)
+        q_rep = jnp.pad(q_rep, ((0, 0), (0, 0), (0, (wk - w) * _LANES)))
+    else:
+        yb_k, xa_k = yb, xa
+
+    dots = _dots16(
+        yb_k,
+        xa_k * c,
+        f_pad,
+        q_rep,
+        h=h,
+        w=w,
+        c=c,
+        hp=hp,
+        wp=wp,
+        taps=taps,
+        precision=precision,
+        interpret=bool(interpret),
+    )
+    dots = dots.reshape(b, h, 8, wk, taps)[:, :, :, :w, :]
+    dots = jnp.transpose(dots, (0, 1, 3, 2, 4))  # (B, H, W, 8, taps)
+
+    # Separable bicubic combination. x taps carry the per-pixel aligned-base
+    # shift s: scores_x[j] = Σ_m wx_m · dots[..., s + j + m].
+    wx = jnp.stack(cubic_weights(tx), axis=-1)  # (B, H, W, 4)
+    wy = jnp.stack(cubic_weights(ty), axis=-1)
+    it = jnp.arange(taps, dtype=jnp.int32)
+    ij = jnp.arange(p, dtype=jnp.int32)
+    # (B, H, W, taps, P): weight of tap t toward window column j
+    wxm = jnp.zeros((b, h, w, taps, p), jnp.float32)
+    for mm in range(4):
+        hit = (it[:, None] == (s[..., None, None] + ij[None, :] + mm)).astype(jnp.float32)
+        wxm = wxm + wx[..., mm, None, None] * hit
+    scores_x = jnp.einsum("bhwvt,bhwtj->bhwvj", dots, wxm)
+
+    iv = jnp.arange(8, dtype=jnp.int32)
+    wym = jnp.zeros((b, h, w, 8, p), jnp.float32)
+    for ll in range(4):
+        hit = (iv[:, None] == (ij[None, :] + ll)).astype(jnp.float32)
+        wym = wym + wy[..., ll, None, None] * hit
+    scores = jnp.einsum("bhwvj,bhwvi->bhwij", scores_x, wym)
+    return scores  # (B, H, W, P, P)

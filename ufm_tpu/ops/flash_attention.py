@@ -28,8 +28,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 __all__ = ["flash_attention", "fits_vmem_single_pass"]
 
 _LANE = 128
-# TPU VMEM is ~16 MiB/core; leave headroom for the compiler's own buffers.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# v5e VMEM is ~128 MiB/core (probed: a 100 MiB scratch compiles and runs);
+# budget half of it so Mosaic's own double-buffering and spill headroom fit.
+_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
 
 
 def _vmem_bytes_estimate(sk_pad: int, d: int, block_q: int, itemsize: int) -> int:
@@ -101,7 +102,7 @@ def flash_attention(
         # 1280 vs ~25 at 256 for this model's shapes), bounded so the fp32
         # score tile stays within VMEM for longer key sequences.
         sk_pad_est = ((sk + _LANE - 1) // _LANE) * _LANE
-        vmem_budget = 8 * 1024 * 1024  # bytes for the score tile
+        vmem_budget = 24 * 1024 * 1024  # bytes for the fp32 score tile
         block_q = min(1280, max(_LANE, (vmem_budget // (sk_pad_est * 4)) // _LANE * _LANE))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -74,12 +74,12 @@ def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int,
         subrow = []
         for i in range(8):
             x = g * 8 + i
-            yb = yb_ref[0, 0, x]
-            xo = xo_ref[0, 0, x]
+            yb = yb_ref[0, 0, 0, x]
+            xo = xo_ref[0, 0, 0, x]
             subrow.append(yb & 7)
             ya = pl.multiple_of((yb >> 3) << 3, 8)
             blk = f_ref[0, pl.ds(ya, 16), pl.ds(pl.multiple_of(xo, 128), _LANES)]
-            qt = q_ref[0, 0, pl.ds(pl.multiple_of(x * _LANES, 128), _LANES)]
+            qt = q_ref[0, 0, 0, pl.ds(pl.multiple_of(x * _LANES, 128), _LANES)]
             prods.append(blk * jnp.broadcast_to(qt.reshape(1, _LANES), (16, _LANES)))
         stacked = jnp.concatenate(prods, axis=0)  # (128, 256)
         dots = jnp.dot(stacked, sel, preferred_element_type=jnp.float32, precision=precision)
@@ -98,9 +98,19 @@ def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int,
     jax.jit, static_argnames=("h", "w", "c", "hp", "wp", "taps", "precision", "interpret")
 )
 def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret):
-    """(B,h,wk) bases + padded map -> (B, h, 8, wk*taps) tap dot products."""
+    """(B,h,wk) bases + padded map -> (B, h, 8, wk*taps) tap dot products.
+
+    The base/query operands get an explicit singleton axis before the lane
+    axis so every per-(image,row) block equals the overall array on its last
+    two dims — Mosaic requires block shapes (…, s, l) with s % 8 == 0 and
+    l % 128 == 0 *or* equal to the array dims, and a (1, 1, wk·L) block over
+    a (B, h, wk·L) array violates that (penultimate 1 ≠ h).
+    """
     b = f_pad.shape[0]
     wk = yb.shape[-1]
+    yb4 = yb.reshape(b, h, 1, wk)
+    xo4 = xo.reshape(b, h, 1, wk)
+    q4 = q_rep.reshape(b, h, 1, wk * _LANES)
     kernel = functools.partial(
         _dots_kernel, groups=wk // 8, taps=taps, precision=precision
     )
@@ -108,10 +118,12 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
         num_scalar_prefetch=0,
         grid=(b, h),
         in_specs=[
-            pl.BlockSpec((1, 1, wk), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, wk), lambda i, j: (i, j, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, hp, wp * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, wk * _LANES), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, wk * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, 8, wk * taps), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
@@ -123,7 +135,7 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(yb, xo, f_pad, q_rep)
+    )(yb4, xo4, f_pad, q4)
 
 
 def window_scores_pallas(
@@ -146,7 +158,10 @@ def window_scores_pallas(
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _window_scores_spmd(
+    from ufm_tpu.ops.spmd import spmd_enabled
+
+    fn = _window_scores_spmd if spmd_enabled() else _window_scores_impl
+    return fn(
         query_features.astype(jnp.float32),
         target_features.astype(jnp.float32),
         flow.astype(jnp.float32),
@@ -159,6 +174,8 @@ def window_scores_pallas(
 # Under a sharded jit, a pallas_call has no partitioning rule and GSPMD would
 # all-gather the operands. The op is independent per image: shard the batch
 # axis, replicate the rest, run per-shard (same treatment as flash_attention).
+# OPT-IN via ufm_tpu.ops.spmd (the wrapper costs a separate compiler round
+# trip per instance; see that module's docstring).
 
 
 def _batch_spec(sharding, ndim: int) -> P:

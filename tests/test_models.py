@@ -105,6 +105,54 @@ def test_refinement_variant(rng):
     assert r is not None
     assert r.residual.shape == (1, 2, h, w)
     assert r.log_softmax.shape == (1, h, w, 3, 3)
+    # final flow = regression flow + residual (reference ufm.py:991-1008);
+    # regression_flow_output must be the PRE-refinement flow
+    np.testing.assert_allclose(
+        np.asarray(out.flow.flow_output),
+        np.asarray(r.regression_flow_output + r.residual),
+        rtol=1e-5,
+        atol=1e-5,
+    )
+
+
+def test_staged_refine_forward_matches_monolithic(rng):
+    """backbone + refine_tail as two applies must equal the single __call__
+    (the staged path is how the refine variant runs on TPU — two smaller
+    compiled programs; see UFMNet.backbone)."""
+    import jax
+
+    cfg = ufm_tiny_config(
+        has_classification_head=True,
+        use_unet_feature=True,
+        refinement_range=3,
+    )
+    model = UniFlowMatchClassificationRefinement.from_config(cfg)
+    net, params = model.net, model.params
+    w, h = model.inference_resolution[0]
+    i1 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+
+    full = net.apply({"params": params}, i1, i2)
+    back = net.apply({"params": params}, i1, i2, method="backbone")
+    tail = net.apply(
+        {"params": params},
+        i1,
+        i2,
+        back["flow"],
+        back["cls_in_0"],
+        back["cls_in_1"],
+        method="refine_tail",
+    )
+    np.testing.assert_allclose(np.asarray(tail["flow"]), np.asarray(full["flow"]), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tail["refinement_log_softmax"]),
+        np.asarray(full["refinement_log_softmax"]),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(back["flow"]), np.asarray(full["regression_flow"]), rtol=1e-6, atol=1e-6
+    )
 
 
 def test_save_load_roundtrip(tmp_path, tiny_confidence_model, rng):

@@ -177,6 +177,17 @@ class UniFlowMatchModelsBase:
         """Return f(params, img1_bhwc, img2_bhwc) -> raw output dict."""
         raise NotImplementedError
 
+    def _use_staged_inference(self) -> bool:
+        """When true the pipeline runs as backbone + refine_tail dispatches
+        (refine variant; see models/network.py UFMNet.backbone)."""
+        return False
+
+    def _network_backbone_fn(self):
+        raise NotImplementedError
+
+    def _network_tail_fn(self):
+        raise NotImplementedError
+
     def _build_pipeline(self, src_shape, tgt_shape, dtype_str, data_norm_type):
         # id(image_scaler): a reassigned scaler (e.g. a crop/composite chain)
         # must not reuse pipelines compiled for the old one
@@ -234,7 +245,7 @@ class UniFlowMatchModelsBase:
 
         network_fn = self._network_fn()
 
-        def pipeline(params, src_bchw, tgt_bchw):
+        def preprocess(src_bchw, tgt_bchw):
             # layout + dtype + normalization (fused; reference base.py:187-231)
             src = jnp.transpose(src_bchw, (0, 2, 3, 1))
             tgt = jnp.transpose(tgt_bchw, (0, 2, 3, 1))
@@ -248,10 +259,9 @@ class UniFlowMatchModelsBase:
             # run the selected manipulation to the model grid (reference
             # base.py:255-266) — resize chains, crops, composites all flow
             # through here with exact region bookkeeping
-            src_s, tgt_s = _run_manipulation(src, tgt)[:2]
+            return _run_manipulation(src, tgt)[:2]
 
-            raw = network_fn(params, src_s, tgt_s)
-
+        def postprocess(raw):
             out: Dict[str, jnp.ndarray] = {}
             flow_unmapped, _ = unmap_predicted_flow(
                 raw["flow"],
@@ -286,7 +296,39 @@ class UniFlowMatchModelsBase:
 
             return out
 
-        jitted = jax.jit(pipeline)
+        if self._use_staged_inference():
+            # Refine variant on TPU: run as TWO compiled programs —
+            # normalize→resize→backbone, then refine_tail→unmap. The
+            # monolithic refine graph is large enough to strain compilers and
+            # schedules measurably worse than its stages (BENCH_NOTES.md);
+            # intermediates stay device-resident between the dispatches.
+            backbone_fn = self._network_backbone_fn()
+            tail_fn = self._network_tail_fn()
+
+            @jax.jit
+            def stage1(params, src_bchw, tgt_bchw):
+                src_s, tgt_s = preprocess(src_bchw, tgt_bchw)
+                return src_s, tgt_s, backbone_fn(params, src_s, tgt_s)
+
+            @jax.jit
+            def stage2(params, src_s, tgt_s, back):
+                tail = tail_fn(params, src_s, tgt_s, back["flow"], back["cls_in_0"], back["cls_in_1"])
+                raw = {k: v for k, v in back.items() if k not in ("cls_in_0", "cls_in_1")}
+                raw.update(tail)
+                return postprocess(raw)
+
+            def pipeline(params, src_bchw, tgt_bchw):
+                src_s, tgt_s, back = stage1(params, src_bchw, tgt_bchw)
+                return stage2(params, src_s, tgt_s, back)
+
+            jitted = pipeline
+        else:
+
+            @jax.jit
+            def jitted(params, src_bchw, tgt_bchw):
+                src_s, tgt_s = preprocess(src_bchw, tgt_bchw)
+                return postprocess(network_fn(params, src_s, tgt_s))
+
         entry = (jitted, (src_region_source, tgt_region_source, src_region_repr, tgt_region_repr))
         self._pipeline_cache[key] = entry
         return entry

@@ -196,6 +196,24 @@ class UFMNet(nn.Module):
     # ---- forward ------------------------------------------------------------
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray, symmetrized: bool = False) -> Dict[str, jnp.ndarray]:
         """img1/img2: (B, H, W, 3) normalized. Returns a flat output dict."""
+        out = self.backbone(img1, img2, symmetrized)
+        if self.cfg.has_classification_head:
+            out.update(
+                self.refine_tail(img1, img2, out["flow"], out.pop("cls_in_0"), out.pop("cls_in_1"))
+            )
+        return out
+
+    def backbone(self, img1: jnp.ndarray, img2: jnp.ndarray, symmetrized: bool = False) -> Dict[str, jnp.ndarray]:
+        """Encoder → info-sharing → DPT heads: everything up to (but not
+        including) the classification-refinement stage. ``out["flow"]`` is the
+        regression flow; refine configs additionally get the two
+        classification-feature inputs (``cls_in_0/1``) for ``refine_tail``.
+
+        Exposed as its own method (usable via ``apply(..., method="backbone")``)
+        so the refine variant can run as TWO smaller jitted dispatches — the
+        monolithic refine graph is large enough to strain compilers, and the
+        split measurably schedules better (see BENCH_NOTES.md).
+        """
         c = self.cfg
         shape1 = (img1.shape[1], img1.shape[2])
 
@@ -257,43 +275,60 @@ class UFMNet(nn.Module):
 
         if c.has_classification_head:
             # low-level + globally-shared features per view (ufm.py:949-965)
-            cls_in_1 = jnp.concatenate([feat1_list[0].astype(jnp.float32), pyr1[-1]], axis=-1)
-            cls_in_2 = jnp.concatenate(
+            out["cls_in_0"] = jnp.concatenate([feat1_list[0].astype(jnp.float32), pyr1[-1]], axis=-1)
+            out["cls_in_1"] = jnp.concatenate(
                 [feat2_list[0].astype(jnp.float32), final.features[1].astype(jnp.float32)], axis=-1
             )
-            stacked = jnp.concatenate([cls_in_1, cls_in_2], axis=0)
-            cls_features = self.classification_head(PredictionHeadInput(last_feature=stacked)).decoded_channels
-
-            if c.use_unet_feature:
-                unet_feat = self.unet_feature(jnp.concatenate([img1, img2], axis=0).astype(jnp.float32))
-                if c.feature_combine_method == "conv":
-                    combined = jnp.concatenate([cls_features, unet_feat], axis=-1)
-                    combined = nn.relu(self.conv1(combined))
-                    cls_features = self.conv2(combined)
-                elif c.feature_combine_method == "modulate":
-                    cls_features = self.conv2(cls_features * jnp.tanh(unet_feat))
-                else:
-                    raise ValueError(f"unknown feature_combine_method: {c.feature_combine_method}")
-
-            b = img1.shape[0]
-            cls_feat_0, cls_feat_1 = cls_features[:b], cls_features[b:]
-
-            with jax.named_scope("refinement"):
-                residual, log_softmax = fused_refinement_attention(
-                    cls_feat_0,
-                    cls_feat_1,
-                    flow,
-                    self.classification_bias,
-                    c.temperature,
-                    c.refinement_range,
-                    impl=getattr(c, "refinement_impl", "auto"),
-                )
-            out["regression_flow"] = flow
-            flow = flow + residual
-            out["refinement_residual"] = residual
-            out["refinement_log_softmax"] = log_softmax
-            out["refinement_feature_map_0"] = cls_feat_0
-            out["refinement_feature_map_1"] = cls_feat_1
 
         out["flow"] = flow
+        return out
+
+    def refine_tail(
+        self,
+        img1: jnp.ndarray,
+        img2: jnp.ndarray,
+        flow: jnp.ndarray,
+        cls_in_0: jnp.ndarray,
+        cls_in_1: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        """Classification-refinement stage (ufm.py:949-1008): patch-MLP
+        classification features (+ optional UNet fine features) → fused
+        neighborhood attention → flow residual. ``flow`` is the regression
+        flow from ``backbone``."""
+        c = self.cfg
+        out: Dict[str, jnp.ndarray] = {}
+
+        stacked = jnp.concatenate([cls_in_0, cls_in_1], axis=0)
+        cls_features = self.classification_head(PredictionHeadInput(last_feature=stacked)).decoded_channels
+
+        if c.use_unet_feature:
+            unet_feat = self.unet_feature(jnp.concatenate([img1, img2], axis=0).astype(jnp.float32))
+            if c.feature_combine_method == "conv":
+                combined = jnp.concatenate([cls_features, unet_feat], axis=-1)
+                combined = nn.relu(self.conv1(combined))
+                cls_features = self.conv2(combined)
+            elif c.feature_combine_method == "modulate":
+                cls_features = self.conv2(cls_features * jnp.tanh(unet_feat))
+            else:
+                raise ValueError(f"unknown feature_combine_method: {c.feature_combine_method}")
+
+        b = img1.shape[0]
+        cls_feat_0, cls_feat_1 = cls_features[:b], cls_features[b:]
+
+        with jax.named_scope("refinement"):
+            residual, log_softmax = fused_refinement_attention(
+                cls_feat_0,
+                cls_feat_1,
+                flow,
+                self.classification_bias,
+                c.temperature,
+                c.refinement_range,
+                impl=getattr(c, "refinement_impl", "auto"),
+            )
+        out["regression_flow"] = flow
+        out["flow"] = flow + residual
+        out["refinement_residual"] = residual
+        out["refinement_log_softmax"] = log_softmax
+        out["refinement_feature_map_0"] = cls_feat_0
+        out["refinement_feature_map_1"] = cls_feat_1
         return out

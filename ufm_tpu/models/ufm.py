@@ -184,13 +184,62 @@ class UniFlowMatch(UniFlowMatchModelsBase):
 
         return fn
 
+    def _use_staged_inference(self) -> bool:
+        """Refine variant runs inference as two compiled programs (backbone +
+        refine_tail) by default — the monolithic graph strains compilers and
+        schedules worse (BENCH_NOTES.md). ``UFM_STAGED_REFINE=0`` forces the
+        single-program path."""
+        import os
+
+        if not self.config.has_classification_head:
+            return False
+        env = os.environ.get("UFM_STAGED_REFINE")
+        return env != "0" if env is not None else True
+
+    def _network_backbone_fn(self):
+        net = self.net
+
+        def fn(params, img1, img2):
+            return net.apply({"params": params}, img1, img2, method="backbone")
+
+        return fn
+
+    def _network_tail_fn(self):
+        net = self.net
+
+        def fn(params, img1, img2, flow, cls_in_0, cls_in_1):
+            return net.apply({"params": params}, img1, img2, flow, cls_in_0, cls_in_1, method="refine_tail")
+
+        return fn
+
     def _jitted_apply(self, shape, symmetrized: bool):
-        key = (tuple(shape), symmetrized)
+        key = (tuple(shape), symmetrized, self._use_staged_inference())
         if key not in self._apply_cache:
             net = self.net
-            self._apply_cache[key] = jax.jit(
-                lambda params, i1, i2: net.apply({"params": params}, i1, i2, symmetrized=symmetrized)
-            )
+            if self._use_staged_inference():
+                backbone = jax.jit(
+                    lambda params, i1, i2: net.apply(
+                        {"params": params}, i1, i2, symmetrized, method="backbone"
+                    )
+                )
+                tail = jax.jit(
+                    lambda params, i1, i2, fl, c0, c1: net.apply(
+                        {"params": params}, i1, i2, fl, c0, c1, method="refine_tail"
+                    )
+                )
+
+                def staged(params, i1, i2):
+                    back = backbone(params, i1, i2)
+                    t = tail(params, i1, i2, back["flow"], back["cls_in_0"], back["cls_in_1"])
+                    raw = {k: v for k, v in back.items() if k not in ("cls_in_0", "cls_in_1")}
+                    raw.update(t)
+                    return raw
+
+                self._apply_cache[key] = staged
+            else:
+                self._apply_cache[key] = jax.jit(
+                    lambda params, i1, i2: net.apply({"params": params}, i1, i2, symmetrized=symmetrized)
+                )
         return self._apply_cache[key]
 
     def __call__(self, view1: Dict[str, Any], view2: Dict[str, Any]) -> UFMOutputInterface:
@@ -220,7 +269,7 @@ class UniFlowMatch(UniFlowMatchModelsBase):
             result.keypoint_confidence = raw["keypoint_confidence"]
         if "refinement_residual" in raw:
             result.classification_refinement = UFMClassificationRefinementOutput(
-                regression_flow_output=jnp.transpose(raw["flow"], (0, 3, 1, 2)),
+                regression_flow_output=jnp.transpose(raw["regression_flow"], (0, 3, 1, 2)),
                 residual=jnp.transpose(raw["refinement_residual"], (0, 3, 1, 2)),
                 log_softmax=raw["refinement_log_softmax"],
                 feature_map_0=jnp.transpose(raw["refinement_feature_map_0"], (0, 3, 1, 2)),

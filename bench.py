@@ -34,9 +34,27 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for bench runs (large flagship graphs
+    take minutes to compile through the remote tunnel; reruns hit the cache)."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:
+        pass  # cache is best-effort; some backends cannot serialize executables
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    enable_compile_cache()
 
     from ufm_tpu.models import (
         UniFlowMatchClassificationRefinement,
@@ -152,22 +170,26 @@ def main() -> None:
         if base:
             vs_baseline = pairs_per_sec / base
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "p50_latency_ms_batch1": round(p50_ms, 2),
-                "p50_latency_ms_batch1_onchip": round(p50_onchip_ms, 2),
-                "batch": batch,
-                "inner_iters": inner_iters,
-                "device": str(jax.devices()[0]),
-                "baseline_pairs_per_sec_torch_cpu": baseline_info.get("torch_cpu_pairs_per_sec"),
-            }
-        )
-    )
+    record = {
+        "metric": metric,
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "p50_latency_ms_batch1": round(p50_ms, 2),
+        "p50_latency_ms_batch1_onchip": round(p50_onchip_ms, 2),
+        "batch": batch,
+        "inner_iters": inner_iters,
+        "device": str(jax.devices()[0]),
+        "baseline_pairs_per_sec_torch_cpu": baseline_info.get("torch_cpu_pairs_per_sec"),
+    }
+    # Refine-variant throughput is measured separately (bench_refine_modes.py
+    # writes bench_refine.json) — folding the cached number in keeps this
+    # script's runtime bounded while still reporting the refine metric.
+    refine_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_refine.json")
+    if os.path.exists(refine_file):
+        with open(refine_file) as f:
+            record["refine"] = json.load(f)
+    print(json.dumps(record))
 
 
 def _bench_e2e(model, batch: int) -> None:

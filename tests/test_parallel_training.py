@@ -104,10 +104,13 @@ def test_tp_fsdp_forward_matches_single(tiny_net_and_params, rng):
     shardings, placed = shard_params(params, mesh)
     batch_spec = NamedSharding(mesh, P("data"))
 
-    fwd = jax.jit(
-        lambda p, a, b: net.apply({"params": p}, a, b),
-        in_shardings=(shardings, batch_spec, batch_spec),
-    )
+    def _sharded_apply(p, a, b):
+        from ufm_tpu.ops.flash_attention import spmd_attention
+
+        with spmd_attention():
+            return net.apply({"params": p}, a, b)
+
+    fwd = jax.jit(_sharded_apply, in_shardings=(shardings, batch_spec, batch_spec))
     with mesh:
         sharded = fwd(placed, jax.device_put(img1, batch_spec), jax.device_put(img2, batch_spec))
 

@@ -25,7 +25,7 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["flash_attention", "fits_vmem_single_pass"]
+__all__ = ["flash_attention", "fits_vmem_single_pass", "spmd_attention"]
 
 _LANE = 128
 # v5e VMEM is ~128 MiB/core (probed: a 100 MiB scratch compiles and runs);
@@ -116,15 +116,24 @@ def flash_attention(
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
-    return _flash_attention_vjp(q, k, v, float(scale), int(block_q), bool(interpret))
+    return _flash_attention_vjp(q, k, v, float(scale), int(block_q), bool(interpret), _spmd_enabled())
 
 
-# --- SPMD partitioning -------------------------------------------------------
+# --- SPMD partitioning (opt-in) ----------------------------------------------
 # Under a sharded jit (TP/DP meshes), a pallas_call has no partitioning rule,
 # so XLA would all-gather the operands and run the kernel replicated. Softmax
 # attention is independent over batch and heads, so declare exactly that:
 # shard on (batch, heads), replicate (seq, head_dim), run the kernel
 # per-shard on local data — collectives never touch the attention.
+#
+# The wrapper is OPT-IN (``spmd_attention()`` context, used by the parallel
+# inference/training paths) because it is brutally expensive to compile:
+# every custom_partitioning instance compiles its body through a separate
+# compiler round trip with no deduplication across the model's ~36 attention
+# call sites (measured: 24 chained calls compile in 4 s plain vs 516 s
+# wrapped). Single-device jit needs no partitioning rule anyway.
+
+from ufm_tpu.ops.spmd import spmd_enabled as _spmd_enabled, spmd_kernels as spmd_attention  # noqa: E402
 
 
 def _attn_spec(sharding) -> P:
@@ -163,17 +172,23 @@ _flash_attention_spmd.def_partition(
 )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_vjp(q, k, v, scale, block_q, interpret):
-    return _flash_attention_spmd(q, k, v, scale, block_q, interpret)
+def _primal(q, k, v, scale, block_q, interpret, use_spmd):
+    if use_spmd:
+        return _flash_attention_spmd(q, k, v, scale, block_q, interpret)
+    return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
 
 
-def _flash_attention_fwd(q, k, v, scale, block_q, interpret):
-    out = _flash_attention_spmd(q, k, v, scale, block_q, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp(q, k, v, scale, block_q, interpret, use_spmd):
+    return _primal(q, k, v, scale, block_q, interpret, use_spmd)
+
+
+def _flash_attention_fwd(q, k, v, scale, block_q, interpret, use_spmd):
+    out = _primal(q, k, v, scale, block_q, interpret, use_spmd)
     return out, (q, k, v)
 
 
-def _flash_attention_bwd(scale, block_q, interpret, residuals, g):
+def _flash_attention_bwd(scale, block_q, interpret, use_spmd, residuals, g):
     q, k, v = residuals
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     p = jax.nn.softmax(logits, axis=-1)

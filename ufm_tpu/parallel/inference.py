@@ -32,7 +32,12 @@ def make_data_parallel_forward(model, mesh: Mesh) -> Callable[[Any, Any], Dict[s
 
     @jax.jit
     def forward(src, tgt):
-        return net.apply({"params": params}, src, tgt)
+        from ufm_tpu.ops.flash_attention import spmd_attention
+
+        # trace-time flag: route attention through its SPMD-partitioned
+        # wrapper so the kernel runs per-shard instead of being all-gathered
+        with spmd_attention():
+            return net.apply({"params": params}, src, tgt)
 
     def run(src, tgt):
         n = src.shape[0]

@@ -80,12 +80,18 @@ def make_train_step(
     apply_fn: Callable[..., Dict[str, jnp.ndarray]],
     optimizer: optax.GradientTransformation,
     loss_weights: Optional[Dict[str, float]] = None,
+    spmd: bool = False,
 ):
-    """Plain (unsharded) train step: (params, opt_state, batch) -> updated."""
+    """Plain (unsharded) train step: (params, opt_state, batch) -> updated.
+    ``spmd=True`` (mesh-sharded callers) routes attention through its
+    SPMD-partitioned wrapper at trace time."""
 
     def step(params, opt_state, batch):
         def loss_fn(p):
-            out = apply_fn({"params": p}, batch["img1"], batch["img2"])
+            from ufm_tpu.ops.flash_attention import spmd_attention
+
+            with spmd_attention(spmd):
+                out = apply_fn({"params": p}, batch["img1"], batch["img2"])
             return ufm_total_loss(out, batch, loss_weights)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -119,7 +125,7 @@ def make_sharded_train_step(
     param_shardings, placed_params = shard_params(params, mesh)
     opt_state = optimizer.init(placed_params)
 
-    step = make_train_step(apply_fn, optimizer, loss_weights)
+    step = make_train_step(apply_fn, optimizer, loss_weights, spmd=True)
     jitted = jax.jit(step, donate_argnums=(0, 1))
 
     def place_batch(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

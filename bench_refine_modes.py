@@ -89,8 +89,10 @@ def main():
             json.dump(rec, f, indent=1)
 
     # Stage A: backbone (encoder + info-sharing + DPT heads + cls inputs).
-    def backbone(a, b_):
-        out = net.apply({"params": params}, a, b_, method="backbone")
+    # NB: params must be an ARGUMENT — closing over the 1.3 GB pytree embeds
+    # it in the lowered computation and the remote-compile request balloons.
+    def backbone(p, a, b_):
+        out = net.apply({"params": p}, a, b_, method="backbone")
         return (
             jnp.sum(out["flow"][:, ::64, ::64]) * 1e-6,
             out["flow"],
@@ -100,7 +102,7 @@ def main():
 
     jb = jax.jit(backbone)
     try:
-        t = median_dispatch(lambda a, b_: jb(a, b_)[0], (i1, i2)) - tunnel
+        t = median_dispatch(lambda a, b_: jb(params, a, b_)[0], (i1, i2)) - tunnel
         results["backbone"] = round(t * 1e3, 1)
         print(f"backbone: {results['backbone']} ms/b{B}", flush=True)
     except Exception as e:  # noqa: BLE001
@@ -110,19 +112,18 @@ def main():
         return
     flush()
 
-    _, flow, cls0, cls1 = jb(i1, i2)
-    flow, cls0, cls1 = jax.tree.map(lambda x: x + 0, (flow, cls0, cls1))  # materialize
+    _, flow, cls0, cls1 = jb(params, i1, i2)
 
     # Stage B: refine tail under each refinement impl.
     for mode in modes:
         os.environ["UFM_REFINE_IMPL"] = mode
 
-        def tail(a, b_, fl, c0, c1):
-            out = net.apply({"params": params}, a, b_, fl, c0, c1, method="refine_tail")
+        def tail(p, a, b_, fl, c0, c1):
+            out = net.apply({"params": p}, a, b_, fl, c0, c1, method="refine_tail")
             return jnp.sum(out["flow"][:, ::64, ::64]) * 1e-6
 
         try:
-            t = median_dispatch(jax.jit(tail), (i1, i2, flow, cls0, cls1)) - tunnel
+            t = median_dispatch(jax.jit(tail), (params, i1, i2, flow, cls0, cls1)) - tunnel
             results[mode] = round(t * 1e3, 1)
             total = results["backbone"] + results[mode]
             print(

@@ -197,3 +197,38 @@ def test_flagship_config_schema_builds_expected_architecture():
     assert model.inference_resolution == [(560, 420)]
     assert list(model.net.cfg.uncertainty_adaptors_kwargs) == [
         "flow_cov", "keypoint_confidence", "non_occluded_mask"]
+
+
+def test_load_pre_scan_layout_checkpoint(tmp_path, rng):
+    """Checkpoints saved before the scan-over-layers layout (per-layer
+    blocks_N subtrees) must load transparently (checkpoint/convert.py
+    migrate_unrolled_blocks)."""
+    import flax
+    import os
+
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    d = str(tmp_path / "old_ckpt")
+    model.save_pretrained(d)
+
+    # rewrite params.msgpack into the old unrolled layout
+    with open(os.path.join(d, "params.msgpack"), "rb") as f:
+        tree = flax.serialization.msgpack_restore(f.read())
+
+    def unroll(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: unroll(v) for k, v in node.items()}
+        if "blocks" in node and isinstance(node["blocks"], dict):
+            stacked = node.pop("blocks")
+            depth = jax.tree.leaves(stacked)[0].shape[0]
+            for i in range(depth):
+                node[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+        return node
+
+    with open(os.path.join(d, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(unroll(tree)))
+
+    loaded = UniFlowMatchConfidence.from_pretrained(d)
+    a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(model.params)])
+    b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(loaded.params)])
+    np.testing.assert_array_equal(a, b)

@@ -233,12 +233,73 @@ def torch_state_dict_to_params(
         if leaf == "kernel":
             arr = _layout_transform(arr, name, to_flax=True)
         flat[flax_path] = arr
-    return unflatten_params(flat)
+    return unflatten_params(_stack_scanned_blocks(flat))
+
+
+_BLOCKS_RE = None
+
+
+def _stack_scanned_blocks(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Per-layer ``.../blocks_N/<sub>`` entries -> one stacked
+    ``.../blocks/<sub>`` array with a leading layer axis (the transformer
+    stacks run as ONE lax.scan over stacked params; nn/layers.py
+    scan_transformer_blocks)."""
+    import re
+
+    groups: Dict[Tuple[str, str], Dict[int, np.ndarray]] = {}
+    rest: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        m = re.match(r"^(.*?)blocks_(\d+)/(.+)$", k)
+        if m:
+            groups.setdefault((m.group(1), m.group(3)), {})[int(m.group(2))] = v
+        else:
+            rest[k] = v
+    for (prefix, suffix), layers in groups.items():
+        n = max(layers) + 1
+        missing = [i for i in range(n) if i not in layers]
+        assert not missing, f"missing transformer layers {missing} for {prefix}blocks/{suffix}"
+        rest[f"{prefix}blocks/{suffix}"] = np.stack([layers[i] for i in range(n)])
+    return rest
+
+
+def migrate_unrolled_blocks(tree: Any) -> Any:
+    """Migrate a params tree saved by the pre-scan layout (per-layer
+    ``blocks_N`` subtrees) to the scanned layout (one ``blocks`` subtree with
+    a leading layer axis). Already-migrated trees pass through unchanged."""
+    import re
+
+    if not isinstance(tree, dict):
+        return tree
+    tree = {k: migrate_unrolled_blocks(v) for k, v in tree.items()}
+    layer_keys = sorted(
+        (k for k in tree if re.fullmatch(r"blocks_\d+", k)), key=lambda s: int(s.split("_")[1])
+    )
+    if layer_keys and "blocks" not in tree:
+        import jax
+
+        layers = [tree.pop(k) for k in layer_keys]
+        tree["blocks"] = jax.tree.map(lambda *xs: np.stack(xs), *layers)
+    return tree
+
+
+def _unstack_scanned_blocks(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_stack_scanned_blocks`: emit per-layer entries so
+    exported state dicts keep the reference's torch-style per-layer names."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        if "blocks" in parts:
+            i = parts.index("blocks")
+            for layer in range(v.shape[0]):
+                out["/".join(parts[:i] + [f"blocks_{layer}"] + parts[i + 1 :])] = v[layer]
+        else:
+            out[k] = v
+    return out
 
 
 def params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """Inverse of :func:`torch_state_dict_to_params` (numpy arrays)."""
-    flat = flatten_params(params)
+    flat = _unstack_scanned_blocks(flatten_params(params))
     out: Dict[str, np.ndarray] = {}
     for path, arr in flat.items():
         parts = path.split("/")

@@ -105,9 +105,14 @@ def load_pretrained(cls, path_or_repo: str, revision: Optional[str] = None, **kw
 
     params_path = os.path.join(local, _PARAMS_NAME)
     if os.path.exists(params_path):
+        from ufm_tpu.checkpoint.convert import migrate_unrolled_blocks
+
         model.init_params()
         with open(params_path, "rb") as f:
-            model.params = flax.serialization.from_bytes(model.params, f.read())
+            raw = flax.serialization.msgpack_restore(f.read())
+        # accept checkpoints saved before the scan-over-layers layout
+        raw = migrate_unrolled_blocks(raw)
+        model.params = flax.serialization.from_state_dict(model.params, raw)
         return model
 
     # torch weights (HF layout): model.safetensors or pytorch_model.bin

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ufm_tpu.nn.layers import TransformerBlock
+from ufm_tpu.nn.layers import TransformerBlock, scan_transformer_blocks
 
 __all__ = ["ViTEncoderInput", "ViTEncoderOutput", "ViTEncoder"]
 
@@ -117,20 +117,22 @@ class ViTEncoder(nn.Module):
         taps = tuple(t % self.depth for t in taps)
 
         norm = nn.LayerNorm(dtype=self.dtype, name="norm")
-        outputs: List[Optional[jnp.ndarray]] = [None] * len(taps)
-        for i in range(self.depth):
-            x = TransformerBlock(
+        # all layers as ONE scanned block (stacked params, single compiled
+        # body); per-layer outputs come back stacked for the taps
+        _, layer_outs = scan_transformer_blocks(
+            TransformerBlock(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 layerscale_init=self.layerscale_init,
                 mlp_act=self.mlp_act,
                 dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x)
-            for j, t in enumerate(taps):
-                if t == i:
-                    outputs[j] = x
+                name="blocks",
+            ),
+            x,
+            self.depth,
+        )
+        outputs = [layer_outs[t] for t in taps]
 
         results = []
         for feat in outputs:

@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ufm_tpu.nn.layers import TransformerBlock
+from ufm_tpu.nn.layers import TransformerBlock, scan_transformer_blocks
 
 __all__ = [
     "MultiViewTransformerInput",
@@ -113,24 +113,27 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
             y = y.reshape(b, self.num_views, hp, wp, self.dim)
             return MultiViewTransformerOutput(features=[y[:, v] for v in range(self.num_views)])
 
-        intermediates: List[Optional[MultiViewTransformerOutput]] = [None] * len(taps)
-        for i in range(self.depth):
-            x = TransformerBlock(
+        # all layers as ONE scanned block (stacked params, single compiled
+        # body); per-layer outputs come back stacked for the taps
+        x, layer_outs = scan_transformer_blocks(
+            TransformerBlock(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
                 layerscale_init=self.layerscale_init,
                 mlp_act=self.mlp_act,
                 dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x)
-            for j, t in enumerate(taps):
-                if t == i:
-                    intermediates[j] = split_views(norm(x) if self.norm_intermediate else x)
+                name="blocks",
+            ),
+            x,
+            self.depth,
+        )
+        intermediates = [
+            split_views(norm(layer_outs[t]) if self.norm_intermediate else layer_outs[t]) for t in taps
+        ]
 
         final = split_views(norm(x))
-        assert all(m is not None for m in intermediates)
-        return final, list(intermediates)
+        return final, intermediates
 
 
 # Registry mirroring the reference lookup `INFO_SHARING_CLASSES[name][1]`

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 
 from ufm_tpu.ops.attention import dot_product_attention
 
-__all__ = ["Mlp", "Attention", "LayerScale", "TransformerBlock", "exact_gelu"]
+__all__ = [
+    "Mlp",
+    "Attention",
+    "LayerScale",
+    "TransformerBlock",
+    "exact_gelu",
+    "scan_transformer_blocks",
+]
 
 # torch nn.GELU defaults to the exact (erf) form; flax's default is the tanh
 # approximation — use exact for checkpoint-numerics parity.
@@ -107,3 +114,30 @@ class TransformerBlock(nn.Module):
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls2")(h)
         return x + h
+
+
+def scan_transformer_blocks(block: TransformerBlock, x, depth: int):
+    """Run ``depth`` transformer layers as ONE ``lax.scan`` over stacked
+    parameters; returns ``(final, per_layer_outputs)`` with the latter stacked
+    on axis 0 (for layer taps).
+
+    This is the idiomatic JAX deep-stack layout: the compiled program contains
+    a single block body instead of ``depth`` inlined copies, which shrinks the
+    flagship HLO ~20x and with it compile time (the unrolled flagship forward
+    exceeded this environment's remote-compile limits). Parameters live as
+    ``{block.name}/<sub>/...`` with a leading layer axis; the checkpoint
+    converter stacks/unstacks per-layer torch weights to match
+    (checkpoint/convert.py).
+    """
+
+    def body(blk, carry, _):
+        y = blk(carry)
+        return y, y
+
+    scanned = nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=depth,
+    )
+    return scanned(block, x, None)

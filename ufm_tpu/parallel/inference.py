@@ -31,13 +31,14 @@ def make_data_parallel_forward(model, mesh: Mesh) -> Callable[[Any, Any], Dict[s
     batch_sharding = NamedSharding(mesh, P("data", None, None, None))
 
     @jax.jit
-    def forward(src, tgt):
+    def forward(p, src, tgt):
+        # params are an ARGUMENT (closing over the pytree would embed it in
+        # the lowered computation); the trace-time flag routes attention
+        # through its SPMD wrapper so the kernel runs per-shard
         from ufm_tpu.ops.flash_attention import spmd_attention
 
-        # trace-time flag: route attention through its SPMD-partitioned
-        # wrapper so the kernel runs per-shard instead of being all-gathered
         with spmd_attention():
-            return net.apply({"params": params}, src, tgt)
+            return net.apply({"params": p}, src, tgt)
 
     def run(src, tgt):
         n = src.shape[0]
@@ -45,6 +46,6 @@ def make_data_parallel_forward(model, mesh: Mesh) -> Callable[[Any, Any], Dict[s
         assert n % data_n == 0, f"batch {n} must divide data axis {data_n}"
         src = jax.device_put(jax.numpy.asarray(src, dtype=jax.numpy.float32), batch_sharding)
         tgt = jax.device_put(jax.numpy.asarray(tgt, dtype=jax.numpy.float32), batch_sharding)
-        return forward(src, tgt)
+        return forward(params, src, tgt)
 
     return run

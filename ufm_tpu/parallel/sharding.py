@@ -78,6 +78,20 @@ def param_partition_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
                 return P("fsdp", None)
         return P()
 
+    if len(shape) == 3:
+        # scan-stacked transformer kernels, (layers, in, out): same TP rules
+        # with the layer axis replicated (nn/layers.py scan_transformer_blocks)
+        if model_n > 1 and _COL_PARALLEL.search(path) and shape[2] % model_n == 0:
+            return P(None, None, "model")
+        if model_n > 1 and _ROW_PARALLEL.search(path) and shape[1] % model_n == 0:
+            return P(None, "model", None)
+        if fsdp_n > 1:
+            if shape[2] % fsdp_n == 0:
+                return P(None, None, "fsdp")
+            if shape[1] % fsdp_n == 0:
+                return P(None, "fsdp", None)
+        return P()
+
     if len(shape) == 4:  # conv HWIO: shard output channels on fsdp
         if fsdp_n > 1 and shape[3] % fsdp_n == 0:
             return P(None, None, None, "fsdp")

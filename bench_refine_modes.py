@@ -114,9 +114,21 @@ def main():
 
     _, flow, cls0, cls1 = jb(params, i1, i2)
 
-    # Stage B: refine tail under each refinement impl.
+    # Stage B: refine tail under each refinement impl ("none" ablates the
+    # fused refinement op to zeros — isolates MLP head + UNet + combine cost).
+    import ufm_tpu.models.network as network_mod
+    from ufm_tpu.ops.refinement import fused_refinement_attention
+
+    def refine_zeros(q, f, fl, bias, temp, p, impl="auto"):
+        b, h, w, _ = q.shape
+        return jnp.zeros((b, h, w, 2), q.dtype), jnp.zeros((b, h, w, p, p), q.dtype)
+
     for mode in modes:
-        os.environ["UFM_REFINE_IMPL"] = mode
+        if mode == "none":
+            network_mod.fused_refinement_attention = refine_zeros
+        else:
+            network_mod.fused_refinement_attention = fused_refinement_attention
+            os.environ["UFM_REFINE_IMPL"] = mode
 
         def tail(p, a, b_, fl, c0, c1):
             out = net.apply({"params": p}, a, b_, fl, c0, c1, method="refine_tail")

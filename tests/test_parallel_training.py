@@ -31,13 +31,14 @@ def test_shard_params_specs(tiny_net_and_params):
     _, params = tiny_net_and_params
     mesh = make_mesh(8, data=2, fsdp=2, model=2)
     shardings, placed = shard_params(params, mesh)
-    # qkv kernels must be column-parallel on the model axis
-    qkv = shardings["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]
-    assert "model" in str(qkv.spec), f"qkv not tensor-parallel: {qkv.spec}"
+    # stacked (layers, in, out) qkv kernels must be column-parallel on the
+    # model axis with the layer axis replicated
+    qkv = shardings["encoder"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.spec == (None, None, "model"), f"qkv not tensor-parallel: {qkv.spec}"
     # placed params keep values
     np.testing.assert_allclose(
-        np.asarray(placed["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]),
-        np.asarray(params["encoder"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(placed["encoder"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(params["encoder"]["blocks"]["attn"]["qkv"]["kernel"]),
     )
 
 

@@ -52,6 +52,10 @@ class UFMArchConfig:
     # Window-dots implementation for the refinement stage: "auto" picks the
     # Pallas TPU kernel when shape-eligible, else the portable XLA path
     refinement_impl: str = "auto"
+    # MXU precision of the kernel's selection matmul: "default" (bf16 input
+    # rounding; measured refined-flow drift ≤0.025 px max / 0.009 px p99.9 vs
+    # "highest" at flagship shapes — BENCH_NOTES.md) or "highest" (fp32)
+    refinement_matmul_precision: str = "default"
     # Inference
     inference_resolution: Union[Tuple[int, int], List[Tuple[int, int]]] = (560, 420)  # (W, H)
     # Precision policy: backbone compute dtype; heads always fp32 (reference

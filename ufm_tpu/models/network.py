@@ -153,7 +153,12 @@ class UFMNet(nn.Module):
             p = c.refinement_range
             self.classification_bias = self.param("classification_bias", nn.initializers.zeros, (p * p,))
             if c.use_unet_feature:
-                self.unet_feature = UNet(name="unet_feature", **_filter_kwargs(UNet, c.unet_kwargs))
+                # the reference runs the UNet OUTSIDE the heads' fp32 autocast
+                # block (ufm.py:915-917 vs :921), i.e. in the ambient bf16
+                # autocast — so it gets the backbone compute dtype here
+                self.unet_feature = UNet(
+                    name="unet_feature", **{"dtype": dt, **_filter_kwargs(UNet, c.unet_kwargs)}
+                )
                 out_c = self.classification_head.output_dim
                 self.conv1 = nn.Conv(2 * out_c, (1, 1), name="conv1")
                 self.conv2 = nn.Conv(out_c, (1, 1), name="conv2")
@@ -302,7 +307,7 @@ class UFMNet(nn.Module):
         cls_features = self.classification_head(PredictionHeadInput(last_feature=stacked)).decoded_channels
 
         if c.use_unet_feature:
-            unet_feat = self.unet_feature(jnp.concatenate([img1, img2], axis=0).astype(jnp.float32))
+            unet_feat = self.unet_feature(jnp.concatenate([img1, img2], axis=0)).astype(jnp.float32)
             if c.feature_combine_method == "conv":
                 combined = jnp.concatenate([cls_features, unet_feat], axis=-1)
                 combined = nn.relu(self.conv1(combined))
@@ -324,6 +329,7 @@ class UFMNet(nn.Module):
                 c.temperature,
                 c.refinement_range,
                 impl=getattr(c, "refinement_impl", "auto"),
+                precision=getattr(c, "refinement_matmul_precision", "default"),
             )
         out["regression_flow"] = flow
         out["flow"] = flow + residual

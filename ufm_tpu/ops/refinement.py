@@ -163,6 +163,7 @@ def fused_refinement_attention(
     temperature: float,
     local_patch: int = 5,
     impl: str = "auto",
+    precision: str = "default",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused sampler+attention (no neighborhood materialization).
 
@@ -174,9 +175,13 @@ def fused_refinement_attention(
     ``impl``: "xla" (portable reference path), "pallas" (TPU window-dots
     kernel, ops/window_dots.py; same math, backward runs the XLA VJP), or
     "auto" (pallas on TPU when the shape qualifies). Env override:
-    ``UFM_REFINE_IMPL``.
+    ``UFM_REFINE_IMPL``. ``precision``: MXU precision of the kernel's
+    selection matmul, "default" (bf16 rounding, ~25% faster; refined-flow
+    drift ≤0.025 px max at flagship shapes) or "highest" (fp32); env
+    override ``UFM_REFINE_PRECISION``.
     """
     impl = os.environ.get("UFM_REFINE_IMPL", impl)
+    precision = os.environ.get("UFM_REFINE_PRECISION", precision)
     if impl == "auto":
         from ufm_tpu.ops.window_dots import supports_pallas_window
 
@@ -194,6 +199,7 @@ def fused_refinement_attention(
             classification_bias,
             float(temperature),
             int(local_patch),
+            str(precision),
         )
     return _fused_refinement_xla(
         query_features, target_features, flow, classification_bias, temperature, local_patch
@@ -214,20 +220,25 @@ def _scores_tail(
     return residual, log_softmax
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_refinement_pallas(query_features, target_features, flow, bias, temperature, p):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_refinement_pallas(query_features, target_features, flow, bias, temperature, p, precision):
+    import jax.lax as lax
+
     from ufm_tpu.ops.window_dots import window_scores_pallas
 
-    scores = window_scores_pallas(query_features, target_features, flow, p)
+    prec = lax.Precision.HIGHEST if precision == "highest" else lax.Precision.DEFAULT
+    scores = window_scores_pallas(query_features, target_features, flow, p, precision=prec)
     return _scores_tail(scores, bias, temperature, p)
 
 
-def _fused_refinement_pallas_fwd(query_features, target_features, flow, bias, temperature, p):
-    out = _fused_refinement_pallas(query_features, target_features, flow, bias, temperature, p)
+def _fused_refinement_pallas_fwd(query_features, target_features, flow, bias, temperature, p, precision):
+    out = _fused_refinement_pallas(
+        query_features, target_features, flow, bias, temperature, p, precision
+    )
     return out, (query_features, target_features, flow, bias)
 
 
-def _fused_refinement_pallas_bwd(temperature, p, residuals, cotangents):
+def _fused_refinement_pallas_bwd(temperature, p, precision, residuals, cotangents):
     q, f, flow, bias = residuals
     _, vjp = jax.vjp(
         lambda q_, f_, flow_, bias_: _fused_refinement_xla(q_, f_, flow_, bias_, temperature, p),

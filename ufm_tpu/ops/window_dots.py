@@ -67,7 +67,7 @@ def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int,
     sel = (
         jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 0) // c
         == jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 1)
-    ).astype(jnp.float32)
+    ).astype(f_ref.dtype)
 
     def body(g, carry):
         prods = []
@@ -106,7 +106,7 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
     l % 128 == 0 *or* equal to the array dims, and a (1, 1, wk·L) block over
     a (B, h, wk·L) array violates that (penultimate 1 ≠ h).
     """
-    b = f_pad.shape[0]
+    b = q_rep.shape[0]
     wk = yb.shape[-1]
     yb4 = yb.reshape(b, h, 1, wk)
     xo4 = xo.reshape(b, h, 1, wk)
@@ -114,13 +114,14 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
     kernel = functools.partial(
         _dots_kernel, groups=wk // 8, taps=taps, precision=precision
     )
+    f_spec = pl.BlockSpec((1, hp, wp * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b, h),
         in_specs=[
             pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hp, wp * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            f_spec,
             pl.BlockSpec(
                 (1, 1, 1, wk * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -221,8 +222,16 @@ def _window_scores_impl(query_features, target_features, flow, local_patch, prec
     taps = _LANES // c
     gpx = 128 // c
 
-    q = query_features
-    f = target_features
+    # "default" precision on real TPU also feeds the kernel bf16 operands —
+    # halves the VMEM-resident map (headroom for larger resolutions) and the
+    # selection matmul runs in one MXU pass instead of six (measured: 105 ->
+    # 80 ms/b4 at 420x560). Rounding happens before the q·F products;
+    # measured refined-flow drift stays ≤0.05 px (BENCH_NOTES.md). Interpret
+    # mode keeps fp32 so the CPU equality tests stay exact.
+    fast = precision == jax.lax.Precision.DEFAULT and not interpret
+    dt = jnp.bfloat16 if fast else jnp.float32
+    q = query_features.astype(dt)
+    f = target_features.astype(dt)
 
     # Pixel-space target positions, clamped so that integer tap bases stay
     # inside the padded map; windows that were fully outside the image stay
@@ -238,6 +247,10 @@ def _window_scores_impl(query_features, target_features, flow, local_patch, prec
     pad_b = m - r + 15
     pad_r = m - r - 1 + taps
     hp, wp = h + pad_t + pad_b, w + pad_l + pad_r
+    # lane-dim alignment: keep wp*c % 128 == 0; extra right padding is
+    # never addressed (tap bases are clamped well inside)
+    wp = ((wp + gpx - 1) // gpx) * gpx
+    pad_r = wp - w - pad_l
 
     x0 = jnp.floor(pos_x)
     y0 = jnp.floor(pos_y)

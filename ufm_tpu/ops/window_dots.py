@@ -70,6 +70,10 @@ def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int,
     ).astype(f_ref.dtype)
 
     def body(g, carry):
+        # ONE query load covers the whole 8-pixel group (row i = pixel i's
+        # replicated q) — the op is bound by dynamic-slice issue overhead,
+        # so halving the slice count matters more than the bytes
+        q8 = q_ref[0, 0, 0:8, pl.ds(pl.multiple_of(g * _LANES, 128), _LANES)]
         prods = []
         subrow = []
         for i in range(8):
@@ -79,8 +83,7 @@ def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int,
             subrow.append(yb & 7)
             ya = pl.multiple_of((yb >> 3) << 3, 8)
             blk = f_ref[0, pl.ds(ya, 16), pl.ds(pl.multiple_of(xo, 128), _LANES)]
-            qt = q_ref[0, 0, 0, pl.ds(pl.multiple_of(x * _LANES, 128), _LANES)]
-            prods.append(blk * jnp.broadcast_to(qt.reshape(1, _LANES), (16, _LANES)))
+            prods.append(blk * jnp.broadcast_to(q8[i : i + 1], (16, _LANES)))
         stacked = jnp.concatenate(prods, axis=0)  # (128, 256)
         dots = jnp.dot(stacked, sel, preferred_element_type=jnp.float32, precision=precision)
         outs = []
@@ -110,7 +113,7 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
     wk = yb.shape[-1]
     yb4 = yb.reshape(b, h, 1, wk)
     xo4 = xo.reshape(b, h, 1, wk)
-    q4 = q_rep.reshape(b, h, 1, wk * _LANES)
+    q4 = q_rep.reshape(b, h, 8, (wk // 8) * _LANES)
     kernel = functools.partial(
         _dots_kernel, groups=wk // 8, taps=taps, precision=precision
     )
@@ -123,7 +126,7 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
             pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
             f_spec,
             pl.BlockSpec(
-                (1, 1, 1, wk * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, 8, (wk // 8) * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -263,7 +266,6 @@ def _window_scores_impl(query_features, target_features, flow, local_patch, prec
 
     f_pad = jnp.pad(f, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
     f_pad = f_pad.reshape(b, hp, wp * c)
-    q_rep = jnp.broadcast_to(q[:, :, :, None, :], (b, h, w, taps, c)).reshape(b, h, w * _LANES)
 
     # Pad the pixel axis to a multiple of the 8-pixel group (bases point at
     # the always-valid padded origin; results are sliced off).
@@ -272,9 +274,17 @@ def _window_scores_impl(query_features, target_features, flow, local_patch, prec
         pad_px = ((0, 0), (0, 0), (0, wk - w))
         yb_k = jnp.pad(yb, pad_px)
         xa_k = jnp.pad(xa, pad_px)
-        q_rep = jnp.pad(q_rep, ((0, 0), (0, 0), (0, (wk - w) * _LANES)))
+        q_px = jnp.pad(q, ((0, 0), (0, 0), (0, wk - w), (0, 0)))
     else:
         yb_k, xa_k = yb, xa
+        q_px = q
+
+    # group-major replicated query: row i of group g is pixel (g*8+i)'s
+    # (taps × c) replication — the kernel loads one (8, 256) slice per group
+    q_rep = jnp.broadcast_to(
+        q_px[:, :, :, None, :], (b, h, wk, taps, c)
+    ).reshape(b, h, wk // 8, 8, _LANES)
+    q_rep = jnp.transpose(q_rep, (0, 1, 3, 2, 4)).reshape(b, h, 8 * (wk // 8) * _LANES)
 
     dots = _dots16(
         yb_k,

@@ -187,3 +187,32 @@ def test_multi_resolution_closest_aspect(rng):
     shape_tall, _ = model.image_scaler.select(120, 60, 120, 60)
     assert shape_wide[:2] == (42, 56)
     assert shape_tall[:2] == (56, 42)
+
+
+def test_staged_predict_pipeline_matches_monolithic(rng, monkeypatch):
+    """The refine variant's predict pipeline runs as two compiled programs by
+    default; UFM_STAGED_REFINE=0 must produce identical results through the
+    monolithic path (covers the staged branch of models/base._build_pipeline)."""
+    cfg = ufm_tiny_config(
+        has_classification_head=True,
+        use_unet_feature=True,
+        refinement_range=3,
+    )
+    model = UniFlowMatchClassificationRefinement.from_config(cfg)
+    src = rng.integers(0, 255, (60, 84, 3), dtype=np.uint8)
+    tgt = rng.integers(0, 255, (60, 84, 3), dtype=np.uint8)
+
+    staged = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+
+    monkeypatch.setenv("UFM_STAGED_REFINE", "0")
+    model._pipeline_cache.clear()
+    mono = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+
+    # the monolithic jit may fuse across the stage boundary (float
+    # reassociation), so exact bitwise equality is not expected
+    np.testing.assert_allclose(
+        np.asarray(staged.flow.flow_output), np.asarray(mono.flow.flow_output), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(staged.covisibility.mask), np.asarray(mono.covisibility.mask), rtol=1e-4, atol=1e-4
+    )

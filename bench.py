@@ -188,7 +188,19 @@ def main() -> None:
     refine_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_refine.json")
     if os.path.exists(refine_file):
         with open(refine_file) as f:
-            record["refine"] = json.load(f)
+            refine_rec = json.load(f)
+        # provenance check: a cached record measured against an older flagship
+        # refine config must not be republished as current (VERDICT r2 #7)
+        from bench_refine_modes import refine_config_hash
+
+        expected = refine_config_hash(ufm_refine_config())
+        if refine_rec.get("config_hash") != expected:
+            refine_rec["stale"] = True
+            refine_rec["stale_reason"] = (
+                f"config_hash {refine_rec.get('config_hash')!r} != current {expected!r}; "
+                "rerun bench_refine_modes.py"
+            )
+        record["refine"] = refine_rec
     print(json.dumps(record))
 
 

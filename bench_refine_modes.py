@@ -18,6 +18,7 @@ folds that file into its output.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -26,6 +27,32 @@ import numpy as np
 B = int(os.environ.get("UFM_BENCH_BATCH", "2"))
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "bench_refine.json")
+
+
+def refine_config_hash(cfg) -> str:
+    """Stable hash of the measured architecture config. bench.py recomputes
+    this against the CURRENT flagship refine config and marks a cached
+    bench_refine.json stale on mismatch — a number measured on an older
+    kernel/config must not be republished as current."""
+    import hashlib
+
+    blob = json.dumps(cfg.to_dict(), sort_keys=True, default=str).encode()
+    return hashlib.sha1(blob).hexdigest()[:16]
+
+
+def _git_rev() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", HERE, "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
 
 
 def median_dispatch(fn, args, reps=7):
@@ -78,6 +105,10 @@ def main():
                 "staged production path (UFMNet.backbone + UFMNet.refine_tail, two "
                 "dispatches); per-stage per-dispatch median minus measured tunnel constant"
             ),
+            "config_hash": refine_config_hash(cfg),
+            "git_rev": _git_rev(),
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "device": str(jax.devices()[0]),
         }
         if "backbone" in results and stage_b:
             best_mode = min(stage_b, key=stage_b.get)

@@ -65,15 +65,15 @@ def test_vmem_guard_fallback():
     assert not fa.fits_vmem_single_pass(40_000, 128, 128, 4)  # would spill
 
     # tiny dims but a budget forced down so the guard must trip
-    orig = fa._VMEM_BUDGET_BYTES
-    fa._VMEM_BUDGET_BYTES = 1 << 12
+    orig = fa._vmem_budget_bytes
+    fa._vmem_budget_bytes = lambda: 1 << 12
     try:
         q = jnp.asarray(np.random.default_rng(0).standard_normal((1, 96, 2, 32)), jnp.float32)
         out = flash_attention(q, q, q)  # would be the pallas path normally
         ref = _xla_attention(q, q, q, 32**-0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
     finally:
-        fa._VMEM_BUDGET_BYTES = orig
+        fa._vmem_budget_bytes = orig
 
 
 def test_pallas_attention_under_spmd_mesh():

@@ -106,6 +106,25 @@ def test_pallas_batch_sharded_matches_single():
 def test_supports_predicate():
     assert supports_pallas_window(16, 5)
     assert supports_pallas_window(8, 5)
+    assert supports_pallas_window(4, 5)
     assert not supports_pallas_window(16, 11)  # taps don't cover the window
     assert not supports_pallas_window(5, 5)  # C must divide the lane tile
     assert not supports_pallas_window(64, 5)
+    # the kernel emits only 8 row taps per pixel; P=7 needs P+3=10 row taps —
+    # auto-dispatch must fall back to XLA or scores silently lose the bottom
+    # window rows (advisor round-2 medium finding: 0.54 px error at p=7,c=8)
+    assert not supports_pallas_window(8, 7)
+    assert not supports_pallas_window(4, 7)
+    assert not supports_pallas_window(16, 7)
+
+
+def test_supports_predicate_vmem_gate(monkeypatch):
+    """With shapes given, eligibility also checks the resident-feature-map
+    VMEM assumption against the actual chip capacity (ops/tpu_caps.py)."""
+    import ufm_tpu.ops.tpu_caps as caps
+
+    assert supports_pallas_window(16, 5, h=420, w=560)  # v5e-class capacity: fits
+    monkeypatch.setattr(caps, "vmem_capacity_bytes", lambda: 16 * 1024 * 1024)
+    # a v2/v3-class 16 MiB VMEM cannot hold the ~19 MB padded 560x420xC16 map
+    assert not supports_pallas_window(16, 5, h=420, w=560)
+    assert supports_pallas_window(16, 5, h=96, w=128)  # small maps still fit

@@ -117,6 +117,20 @@ class UniFlowMatchModelsBase:
         )
         self._pipeline_cache: Dict[Any, Any] = {}
 
+    # ``image_scaler`` is settable public API (crop/composite chains replace
+    # it); the pipeline cache must never serve a pipeline compiled for a
+    # previous scaler. ``id()`` of the scaler is unsafe as a cache key — a
+    # garbage-collected predecessor's id can be reused — so assignment bumps a
+    # monotonic generation token that the cache key carries instead.
+    @property
+    def image_scaler(self):
+        return self._image_scaler
+
+    @image_scaler.setter
+    def image_scaler(self, value) -> None:
+        self._image_scaler = value
+        self._scaler_generation = getattr(self, "_scaler_generation", -1) + 1
+
     # ---- subclass interface -------------------------------------------------
     @property
     def data_norm_type(self) -> str:
@@ -189,9 +203,14 @@ class UniFlowMatchModelsBase:
         raise NotImplementedError
 
     def _build_pipeline(self, src_shape, tgt_shape, dtype_str, data_norm_type):
-        # id(image_scaler): a reassigned scaler (e.g. a crop/composite chain)
-        # must not reuse pipelines compiled for the old one
-        key = (tuple(src_shape), tuple(tgt_shape), dtype_str, data_norm_type, id(self.image_scaler))
+        key = (
+            tuple(src_shape),
+            tuple(tgt_shape),
+            dtype_str,
+            data_norm_type,
+            self._scaler_generation,
+            self._use_staged_inference(),
+        )
         if key in self._pipeline_cache:
             return self._pipeline_cache[key]
 

@@ -87,16 +87,35 @@ def interleave(t1: jnp.ndarray, t2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarr
     return r1, r2
 
 
+# Bookkeeping / weight-loading keys a UniCeption-style config may carry that
+# genuinely don't affect the built architecture — safe to drop silently.
+# Mirrors the encoder factory's allowlist (nn/encoders/__init__.py).
+_BENIGN_CONFIG_KEYS = {
+    "name",
+    "size",
+    "uses_torch_hub",
+    "torch_hub_force_reload",
+    "pretrained_checkpoint_path",
+    "gradient_checkpointing",
+    "device",
+}
+
+
 def _filter_kwargs(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:
     # `name`/`parent` are flax module-tree plumbing, never config surface
     known = set(cls.__dataclass_fields__) - {"name", "parent"}
-    dropped = set(kwargs) - known
-    if dropped:
-        # Not fatal (the strict checkpoint merge catches real architecture
-        # mismatches at load time), but never silent.
-        import warnings
-
-        warnings.warn(f"{cls.__name__}: ignoring unsupported config keys {sorted(dropped)}", stacklevel=2)
+    unknown = set(kwargs) - known - _BENIGN_CONFIG_KEYS
+    if unknown:
+        # The HF config.json is the single source of architecture truth
+        # (reference ufm.py:120, SURVEY.md §3.5): an unknown load-bearing key
+        # (norm eps, attention variant, alternate mlp_ratio spelling) silently
+        # dropped would build a wrong network that still loads the checkpoint.
+        # Hard-fail, exactly like the encoder factory does.
+        raise ValueError(
+            f"{cls.__name__} config carries load-bearing options this implementation "
+            f"does not support: {sorted(unknown)}. Refusing to build a silently-wrong "
+            f"architecture; supported fields: {sorted(known)}."
+        )
     return {k: v for k, v in kwargs.items() if k in known}
 
 

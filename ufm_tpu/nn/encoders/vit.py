@@ -118,8 +118,8 @@ class ViTEncoder(nn.Module):
 
         norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         # all layers as ONE scanned block (stacked params, single compiled
-        # body); per-layer outputs come back stacked for the taps
-        _, layer_outs = scan_transformer_blocks(
+        # body); only the tapped layers are materialized
+        _, tap_outs = scan_transformer_blocks(
             TransformerBlock(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -131,8 +131,9 @@ class ViTEncoder(nn.Module):
             ),
             x,
             self.depth,
+            taps=taps,
         )
-        outputs = [layer_outs[t] for t in taps]
+        outputs = [tap_outs[j] for j in range(len(taps))]
 
         results = []
         for feat in outputs:

@@ -114,8 +114,8 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
             return MultiViewTransformerOutput(features=[y[:, v] for v in range(self.num_views)])
 
         # all layers as ONE scanned block (stacked params, single compiled
-        # body); per-layer outputs come back stacked for the taps
-        x, layer_outs = scan_transformer_blocks(
+        # body); only the tapped layers are materialized
+        x, tap_outs = scan_transformer_blocks(
             TransformerBlock(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -127,9 +127,11 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
             ),
             x,
             self.depth,
+            taps=taps,
         )
         intermediates = [
-            split_views(norm(layer_outs[t]) if self.norm_intermediate else layer_outs[t]) for t in taps
+            split_views(norm(tap_outs[j]) if self.norm_intermediate else tap_outs[j])
+            for j in range(len(taps))
         ]
 
         final = split_views(norm(x))

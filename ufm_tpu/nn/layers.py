@@ -116,10 +116,20 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
-def scan_transformer_blocks(block: TransformerBlock, x, depth: int):
+def scan_transformer_blocks(block: TransformerBlock, x, depth: int, taps: Optional[tuple] = None):
     """Run ``depth`` transformer layers as ONE ``lax.scan`` over stacked
-    parameters; returns ``(final, per_layer_outputs)`` with the latter stacked
-    on axis 0 (for layer taps).
+    parameters.
+
+    Returns ``(final, outs)``: with ``taps=None``, ``outs`` is every layer's
+    output stacked on axis 0 (shape ``(depth, ...)``); with ``taps`` a tuple
+    of distinct layer indices, ``outs[j]`` is the output of layer ``taps[j]``
+    (shape ``(len(taps), ...)``) and non-tap layers are never materialized —
+    XLA cannot always DCE unused scan ys, and the full ``(depth, B, N, D)``
+    stack costs HBM footprint proportional to depth on the flagship encoder.
+    The tap buffer is carried through the scan; each layer issues exactly one
+    buffer write (into a scratch slot for non-tap layers), so bandwidth
+    matches the stacked-ys formulation while footprint drops to
+    ``len(taps)+1`` layers.
 
     This is the idiomatic JAX deep-stack layout: the compiled program contains
     a single block body instead of ``depth`` inlined copies, which shrinks the
@@ -127,12 +137,39 @@ def scan_transformer_blocks(block: TransformerBlock, x, depth: int):
     exceeded this environment's remote-compile limits). Parameters live as
     ``{block.name}/<sub>/...`` with a leading layer axis; the checkpoint
     converter stacks/unstacks per-layer torch weights to match
-    (checkpoint/convert.py).
+    (checkpoint/convert.py) — identical for both tap modes.
     """
+    import jax
+    import jax.numpy as jnp
 
-    def body(blk, carry, _):
-        y = blk(carry)
-        return y, y
+    if taps is None:
+
+        def body(blk, carry, _):
+            y = blk(carry)
+            return y, y
+
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=depth,
+        )
+        return scanned(block, x, None)
+
+    taps = tuple(int(t) for t in taps)
+    assert len(set(taps)) == len(taps), f"duplicate tap indices: {taps}"
+    n_taps = len(taps)
+
+    def body(blk, carry, i):
+        h, buf = carry
+        y = blk(h)
+        # slot j when layer i == taps[j], else the scratch slot n_taps —
+        # a scalar select chain plus ONE dynamic buffer write per layer
+        slot = jnp.int32(n_taps)
+        for j, t in enumerate(taps):
+            slot = jnp.where(i == t, jnp.int32(j), slot)
+        buf = jax.lax.dynamic_update_index_in_dim(buf, y, slot, axis=0)
+        return (y, buf), None
 
     scanned = nn.scan(
         body,
@@ -140,4 +177,6 @@ def scan_transformer_blocks(block: TransformerBlock, x, depth: int):
         split_rngs={"params": True},
         length=depth,
     )
-    return scanned(block, x, None)
+    buf0 = jnp.zeros((n_taps + 1,) + x.shape, x.dtype)
+    (final, buf), _ = scanned(block, (x, buf0), jnp.arange(depth))
+    return final, buf[:n_taps]

@@ -28,9 +28,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 __all__ = ["flash_attention", "fits_vmem_single_pass", "spmd_attention"]
 
 _LANE = 128
-# v5e VMEM is ~128 MiB/core (probed: a 100 MiB scratch compiles and runs);
-# budget half of it so Mosaic's own double-buffering and spill headroom fit.
-_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def _vmem_budget_bytes() -> int:
+    # Half the chip's VMEM (128 MiB on v5e, less on older generations —
+    # ops/tpu_caps.py) so Mosaic's own double-buffering and spill headroom fit.
+    from ufm_tpu.ops.tpu_caps import vmem_budget_bytes
+
+    return vmem_budget_bytes(0.5)
 
 
 def _vmem_bytes_estimate(sk_pad: int, d: int, block_q: int, itemsize: int) -> int:
@@ -45,7 +50,7 @@ def _vmem_bytes_estimate(sk_pad: int, d: int, block_q: int, itemsize: int) -> in
 
 def fits_vmem_single_pass(sk: int, d: int, block_q: int, itemsize: int) -> bool:
     sk_pad = ((sk + _LANE - 1) // _LANE) * _LANE
-    return _vmem_bytes_estimate(sk_pad, d, block_q, itemsize) <= _VMEM_BUDGET_BYTES
+    return _vmem_bytes_estimate(sk_pad, d, block_q, itemsize) <= _vmem_budget_bytes()
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):

@@ -185,10 +185,11 @@ def fused_refinement_attention(
     if impl == "auto":
         from ufm_tpu.ops.window_dots import supports_pallas_window
 
+        _, fh, fw, fc = target_features.shape
         impl = (
             "pallas"
             if jax.default_backend() == "tpu"
-            and supports_pallas_window(target_features.shape[-1], local_patch)
+            and supports_pallas_window(fc, local_patch, h=fh, w=fw)
             else "xla"
         )
     if impl == "pallas":

@@ -52,14 +52,42 @@ __all__ = ["window_scores_pallas", "supports_pallas_window"]
 _LANES = 256  # window width in lanes: two 128-lane tiles
 
 
-def supports_pallas_window(c: int, local_patch: int) -> bool:
+def _vmem_limit_bytes() -> int:
+    # nearly the whole chip VMEM — the resident feature map IS the design
+    from ufm_tpu.ops.tpu_caps import vmem_capacity_bytes
+
+    return int(vmem_capacity_bytes() * 0.94)
+
+
+def supports_pallas_window(c: int, local_patch: int, h: int | None = None, w: int | None = None) -> bool:
     """The kernel loads (16, 256)-lane windows; the emitted tap count
-    T = 256/C must cover the worst-case aligned offset plus the P+3 taps."""
+    T = 256/C must cover the worst-case aligned offset plus the P+3 taps,
+    and the kernel emits only 8 row taps per pixel (``d16[0:8]``) — a P
+    window needs P+3 row taps, so P > 5 never qualifies.
+
+    With ``h``/``w`` given, additionally checks the kernel's defining VMEM
+    assumption — the whole padded target feature map stays resident — against
+    the current chip's capacity (ops/tpu_caps.py)."""
     if c not in (4, 8, 16) or _LANES % c:
         return False
     taps = _LANES // c
     gpx = 128 // c  # x alignment granularity in pixels
-    return (gpx - 1) + local_patch + 3 <= taps
+    if local_patch + 3 > 8:
+        return False
+    if (gpx - 1) + local_patch + 3 > taps:
+        return False
+    if h is not None and w is not None:
+        from ufm_tpu.ops.tpu_caps import vmem_budget_bytes
+
+        r = (local_patch - 1) // 2
+        hp = h + (2 * r + 5) + (r + 4 - r + 15)
+        wp = w + 2 * (2 * r + 5) + taps
+        # padded map (bf16 fast path would halve this; budget for fp32) plus
+        # the per-row q/out blocks, doubled for Mosaic pipelining
+        per_row = (8 * ((w + 7) // 8) * _LANES + 8 * ((w + 7) // 8) * taps) * 4 * 2
+        if hp * wp * c * 4 + per_row > vmem_budget_bytes(0.9):
+            return False
+    return True
 
 
 def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int, precision):
@@ -137,7 +165,7 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, 8, wk * taps), jnp.float32),
         grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(yb4, xo4, f_pad, q4)
 

@@ -201,6 +201,10 @@ def main() -> None:
                 "rerun bench_refine_modes.py"
             )
         record["refine"] = refine_rec
+    train_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_train.json")
+    if os.path.exists(train_file):
+        with open(train_file) as f:
+            record["train"] = json.load(f)
     print(json.dumps(record))
 
 

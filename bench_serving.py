@@ -1,0 +1,163 @@
+"""Serving-path benchmarks on the real TPU (round-3; VERDICT r2 #8, #9).
+
+Modes:
+  stream     — the double-buffered streaming driver (ufm_tpu/runtime/
+               streaming.py) feeding the flagship base-model forward at
+               560x420: sustained wall-clock pairs/s over a synthetic pair
+               stream. Through this session's tunnel every dispatch pays
+               ~30-36 ms round trip, so the sustained rate here is a LOWER
+               bound; on a directly-attached TPU host the driver overlaps
+               host work with device compute and tracks the forward rate.
+  refine_e2e — the refine variant's full public predict pipeline
+               (uint8 pair -> normalize -> resize -> staged backbone+tail ->
+               unmap), timed per call at batch 1 and 4.
+
+Writes bench_serving.json incrementally.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "bench_serving.json")
+
+
+def _git_rev() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", HERE, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def _load_rec():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_rec(rec):
+    rec["git_rev"] = _git_rev()
+    rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(OUT, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+def bench_stream():
+    import jax
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import UFMNet, ufm_base_config
+    from ufm_tpu.runtime.streaming import stream_predict
+
+    batch = int(os.environ.get("UFM_BENCH_BATCH", "8"))
+    n_batches = int(os.environ.get("UFM_BENCH_ITERS", "12"))
+    h, w = 420, 560
+
+    cfg = ufm_base_config()
+    net = UFMNet(cfg)
+    img = jnp.zeros((batch, h, w, 3), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), img, img)["params"]
+
+    @jax.jit
+    def fwd(p, s, t):
+        out = net.apply({"params": p}, s, t)
+        return {"flow": out["flow"], "covis": out["covis_mask"]}
+
+    def forward(s, t):
+        return fwd(params, jnp.asarray(s), jnp.asarray(t))
+
+    rng = np.random.default_rng(0)
+    pairs_np = [
+        (rng.standard_normal((h, w, 3)).astype(np.float32),
+         rng.standard_normal((h, w, 3)).astype(np.float32))
+        for _ in range(batch * 2)
+    ]
+
+    def pair_iter(n):
+        for i in range(n * batch):
+            yield pairs_np[i % len(pairs_np)]
+
+    # warm-up / compile
+    for out in stream_predict(forward, pair_iter(2), batch):
+        _ = float(np.asarray(out["flow"])[0, 0, 0, 0])
+
+    t0 = time.perf_counter()
+    consumed = 0
+    for out in stream_predict(forward, pair_iter(n_batches), batch):
+        _ = float(np.asarray(out["flow"])[0, 0, 0, 0])  # consume (sync) each batch
+        consumed += batch
+    dt = time.perf_counter() - t0
+    rate = consumed / dt
+
+    rec = _load_rec()
+    rec["stream"] = {
+        "batch": batch,
+        "batches": n_batches,
+        "pairs_per_sec_sustained": round(rate, 2),
+        "note": "wall-clock through the session tunnel (~30-36 ms/dispatch); lower bound",
+        "device": str(jax.devices()[0]),
+    }
+    _save_rec(rec)
+    print(json.dumps(rec["stream"]), flush=True)
+
+
+def bench_refine_e2e():
+    import jax
+
+    from ufm_tpu.models import UniFlowMatchClassificationRefinement, ufm_refine_config
+
+    model = UniFlowMatchClassificationRefinement.from_config(ufm_refine_config())
+    rng = np.random.default_rng(0)
+    rec = _load_rec()
+    rec.setdefault("refine_e2e", {})
+
+    for batch in (1, 4):
+        src = rng.integers(0, 255, (batch, 3, 420, 560), dtype=np.uint8)
+        tgt = rng.integers(0, 255, (batch, 3, 420, 560), dtype=np.uint8)
+
+        def run():
+            r = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+            return float(np.asarray(r.flow.flow_output)[0, 0, 0, 0])
+
+        run()  # compile
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times))
+        rec["refine_e2e"][f"b{batch}"] = {
+            "p50_ms_per_call": round(p50 * 1e3, 1),
+            "pairs_per_sec": round(batch / p50, 2),
+            "note": "staged two-dispatch path; includes tunnel + host<->device transfers",
+        }
+        _save_rec(rec)
+        print(f"refine e2e b{batch}: {p50*1e3:.1f} ms/call = {batch/p50:.2f} pairs/s", flush=True)
+
+    print(json.dumps(rec["refine_e2e"]), flush=True)
+
+
+def main():
+    from bench import enable_compile_cache
+
+    enable_compile_cache()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("stream", "all"):
+        bench_stream()
+    if which in ("refine_e2e", "all"):
+        bench_refine_e2e()
+
+
+if __name__ == "__main__":
+    main()

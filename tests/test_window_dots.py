@@ -103,6 +103,42 @@ def test_pallas_batch_sharded_matches_single():
     np.testing.assert_allclose(np.asarray(ls2), np.asarray(ls1), atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "c,p,variant",
+    [
+        (16, 5, "v2"),
+        (8, 5, "v2"),
+        (4, 3, "v2"),
+        (16, 5, "v2n4"),
+        (16, 5, "g16"),
+        (16, 5, "g32"),
+        (16, 5, "g16s"),
+        (8, 5, "g16s"),
+        (16, 3, "g32s"),
+    ],
+)
+def test_v2_dma_kernel_matches_v1(c, p, variant):
+    """Round-3 kernel generations against the round-2 baseline: the
+    double-buffered DMA kernel ("v2*"), the wide-group kernels ("g16"/"g32"),
+    and the shifted-output kernels ("g16s"/"g32s", whose pre-aligned taps
+    replace the per-pixel one-hot epilogue with exact static multiply-adds)."""
+    rng = np.random.default_rng(11)
+    b, h, w = 2, 24, 44  # odd width exercises the group padding
+    q = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((b, h, w, 2)) * 15, jnp.float32)
+    s1 = window_scores_pallas(q, f, flow, p, variant="v1")
+    s2 = window_scores_pallas(q, f, flow, p, variant=variant)
+    if variant.endswith("s"):
+        # the shifted epilogue's 4-term multiply-adds reassociate the exact
+        # same products the v1 einsum sums — last-ulp fp32 differences only
+        # (on TPU the shifted path is strictly MORE accurate: v1's einsums
+        # run at DEFAULT matmul precision, i.e. bf16 input rounding)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6, atol=2e-6)
+    else:
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
 def test_supports_predicate():
     assert supports_pallas_window(16, 5)
     assert supports_pallas_window(8, 5)

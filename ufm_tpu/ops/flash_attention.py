@@ -83,6 +83,74 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int):
     ).astype(o_ref.dtype)
 
 
+_LOG2E = 1.4426950408889634
+
+
+def _attn_kernel_opt(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int, kv_chunks: int):
+    """VPU-lean single-pass attention.
+
+    The base kernel's MXU work at this model's shapes is ~3.2k cycles/step but
+    it runs at ~half the d=64 roofline — the gap is serialized VPU softmax
+    passes over the (BQ, S) score tile. This variant removes three full-tile
+    passes and (with ``kv_chunks > 1``) restructures as an online softmax over
+    K/V chunks so Mosaic can overlap chunk i's exp (VPU) with chunk i+1's
+    score matmul (MXU):
+
+      * ``scale`` and the exp->exp2 conversion factor fold into Q *before*
+        the score matmul ((BQ, D) work instead of an (BQ, S) pass);
+      * softmax normalization is deferred to the (BQ, D) output (one small
+        multiply instead of an (BQ, S) divide);
+      * ``exp2`` instead of ``exp`` (the VPU primitive; no hidden multiply).
+    """
+    bq = q_ref.shape[1]
+    s_pad = k_ref.shape[1]
+    d = q_ref.shape[2]
+    csize = s_pad // kv_chunks
+
+    # fold scale + log2(e) into q in fp32, round once back to the compute dtype
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+
+    m_acc = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l_acc = jnp.zeros((bq, 1), jnp.float32)
+    o_acc = jnp.zeros((bq, d), jnp.float32)
+
+    for i in range(kv_chunks):
+        k = k_ref[0, i * csize : (i + 1) * csize]
+        v = v_ref[0, i * csize : (i + 1) * csize]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if valid_len < (i + 1) * csize:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < valid_len - i * csize, s, -jnp.inf)
+
+        m_i = jnp.max(s, axis=-1, keepdims=True)
+        if kv_chunks == 1:
+            p = jnp.exp2(s - m_i)
+            l_acc = jnp.sum(p, axis=-1, keepdims=True)
+            o_acc = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            m_new = jnp.maximum(m_acc, m_i)
+            alpha = jnp.exp2(m_acc - m_new)
+            p = jnp.exp2(s - m_new)
+            l_acc = l_acc * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_acc = o_acc * alpha + pv
+            m_acc = m_new
+
+    o_ref[0] = (o_acc / l_acc).astype(o_ref.dtype)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -91,6 +159,7 @@ def flash_attention(
     scale: float | None = None,
     block_q: int | None = None,
     interpret: bool | None = None,
+    variant: str | None = None,
 ) -> jnp.ndarray:
     """Softmax attention; q/k/v are (B, S, H, D), returns (B, Sq, H, D).
 
@@ -98,19 +167,30 @@ def flash_attention(
     exact softmax-attention VJP as XLA einsums (the O(S²) score matrix fits
     comfortably at this model's sequence lengths).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if variant is None:
+        # interpret mode (CPU tests) keeps the round-2 "base" body whose
+        # operation order matches the XLA reference bit-for-bit closely; the
+        # TPU default is the VPU-lean "opt" body (fp32-reassociation drift
+        # ~2e-3, verified closer to the fp64 ground truth than "base" —
+        # BENCH_NOTES.md round 3)
+        variant = _kernel_variant(default="base" if interpret else "opt")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
         scale = d**-0.5
     if block_q is None:
-        # Large q blocks amortize grid overhead (measured: 45-62 TFLOPS at
-        # 1280 vs ~25 at 256 for this model's shapes), bounded so the fp32
-        # score tile stays within VMEM for longer key sequences.
+        # Round-3 sweep at the model's shapes (bench_kernels.py): 640 is the
+        # sweet spot — the encoder shape (S_pad 1280) runs 0.76 ms/62 TFLOPS
+        # at 640 vs 1.17-1.37 ms/34-40 at 1280 (the full-sequence block's
+        # (1280, S) score tile schedules much worse), and 320 loses the
+        # amortization again (41 TFLOPS). The info-share shape (S_pad 2560)
+        # is flat within noise between 640 and 1280. Bounded below so the
+        # fp32 score tile stays within VMEM for longer key sequences.
         sk_pad_est = ((sk + _LANE - 1) // _LANE) * _LANE
         vmem_budget = 24 * 1024 * 1024  # bytes for the fp32 score tile
-        block_q = min(1280, max(_LANE, (vmem_budget // (sk_pad_est * 4)) // _LANE * _LANE))
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        block_q = min(640, max(_LANE, (vmem_budget // (sk_pad_est * 4)) // _LANE * _LANE))
 
     # Guard the single-pass design's VMEM assumption: if the whole K/V slice
     # plus the smallest score tile can't fit, the kernel would spill or fail
@@ -121,7 +201,9 @@ def flash_attention(
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
-    return _flash_attention_vjp(q, k, v, float(scale), int(block_q), bool(interpret), _spmd_enabled())
+    return _flash_attention_vjp(
+        q, k, v, float(scale), int(block_q), bool(interpret), _spmd_enabled(), variant
+    )
 
 
 # --- SPMD partitioning (opt-in) ----------------------------------------------
@@ -177,23 +259,25 @@ _flash_attention_spmd.def_partition(
 )
 
 
-def _primal(q, k, v, scale, block_q, interpret, use_spmd):
+def _primal(q, k, v, scale, block_q, interpret, use_spmd, variant):
     if use_spmd:
         return _flash_attention_spmd(q, k, v, scale, block_q, interpret)
-    return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+    return _flash_attention_impl(
+        q, k, v, scale=scale, block_q=block_q, interpret=interpret, variant=variant
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_vjp(q, k, v, scale, block_q, interpret, use_spmd):
-    return _primal(q, k, v, scale, block_q, interpret, use_spmd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_vjp(q, k, v, scale, block_q, interpret, use_spmd, variant):
+    return _primal(q, k, v, scale, block_q, interpret, use_spmd, variant)
 
 
-def _flash_attention_fwd(q, k, v, scale, block_q, interpret, use_spmd):
-    out = _primal(q, k, v, scale, block_q, interpret, use_spmd)
+def _flash_attention_fwd(q, k, v, scale, block_q, interpret, use_spmd, variant):
+    out = _primal(q, k, v, scale, block_q, interpret, use_spmd, variant)
     return out, (q, k, v)
 
 
-def _flash_attention_bwd(scale, block_q, interpret, use_spmd, residuals, g):
+def _flash_attention_bwd(scale, block_q, interpret, use_spmd, variant, residuals, g):
     q, k, v = residuals
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     p = jax.nn.softmax(logits, axis=-1)
@@ -210,7 +294,17 @@ def _flash_attention_bwd(scale, block_q, interpret, use_spmd, residuals, g):
 _flash_attention_vjp.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def _kernel_variant(default: str = "opt") -> str:
+    """Kernel body selection: "opt" (VPU-lean, the TPU default), "opt2"/"opt4"
+    (online-softmax over 2/4 K/V chunks for MXU/VPU overlap), "base"
+    (round-2 reference body; the interpret-mode default). Env override:
+    UFM_ATTN_KERNEL."""
+    import os
+
+    return os.environ.get("UFM_ATTN_KERNEL", default)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret", "variant"))
 def _flash_attention_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -219,7 +313,10 @@ def _flash_attention_impl(
     scale: float,
     block_q: int,
     interpret: bool,
+    variant: str | None = None,
 ) -> jnp.ndarray:
+    if variant is None:
+        variant = _kernel_variant(default="base" if interpret else "opt")
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
@@ -242,8 +339,17 @@ def _flash_attention_impl(
     qf, kf, vf = fold(qp), fold(kp), fold(vp)
     num_q_blocks = sq_pad // block_q
 
+    if variant == "base":
+        kernel = functools.partial(_attn_kernel, scale=scale, valid_len=sk)
+    else:
+        chunks = int(variant[3:]) if len(variant) > 3 else 1
+        # chunk boundaries must stay lane-aligned
+        while chunks > 1 and (sk_pad // chunks) % _LANE:
+            chunks //= 2
+        kernel = functools.partial(_attn_kernel_opt, scale=scale, valid_len=sk, kv_chunks=chunks)
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, valid_len=sk),
+        kernel,
         grid=(b * h, num_q_blocks),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

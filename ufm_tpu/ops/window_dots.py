@@ -90,34 +90,141 @@ def supports_pallas_window(c: int, local_patch: int, h: int | None = None, w: in
     return True
 
 
-def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int, precision):
+def _dots_kernel(
+    yb_ref,
+    xo_ref,
+    f_ref,
+    q_ref,
+    o_ref,
+    *,
+    groups: int,
+    taps: int,
+    precision,
+    gsz: int = 8,
+    shifted: bool = False,
+):
+    """``gsz`` pixels per loop iteration. The op is bound by the per-pixel
+    serial scalar-address/load chain (~75 cyc/pixel; BENCH_NOTES round 2-3:
+    load width, load count, and DMA prefetch all measured neutral-to-worse) —
+    wider groups expose gsz independent chains per iteration for the
+    scheduler to interleave and amortize the q load / matmul / out store.
+
+    ``shifted``: additionally lane-roll each pixel's tap block by its aligned
+    -base offset ``s`` (packed into the low bits of the xo scalar) and emit
+    only the 8 taps [s, s+8) the bicubic window consumes — rolls measure
+    ~free here (round-2 post-mortem) and the pre-aligned taps let the XLA
+    epilogue use static-slice multiply-adds instead of materializing the
+    per-pixel one-hot weight tensors. Requires gsz >= 16 (out-lane stride)."""
     c = _LANES // taps
+    out_t = 8 if shifted else taps
+    # shifted: pad the selection output to 128 lanes — free on the MXU (an
+    # N<128 matmul occupies a full 128-wide pass anyway) and it makes the
+    # per-pixel result a (16, 128) fp32 tile, the only shape Mosaic can
+    # dynamic-lane-rotate (the bf16 input block and the (16, taps) result
+    # both reject tpu.dynamic_rotate)
+    sel_n = 128 if shifted else taps
     sel = (
-        jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 0) // c
-        == jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (_LANES, sel_n), 0) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (_LANES, sel_n), 1)
     ).astype(f_ref.dtype)
 
     def body(g, carry):
-        # ONE query load covers the whole 8-pixel group (row i = pixel i's
-        # replicated q) — the op is bound by dynamic-slice issue overhead,
-        # so halving the slice count matters more than the bytes
-        q8 = q_ref[0, 0, 0:8, pl.ds(pl.multiple_of(g * _LANES, 128), _LANES)]
+        # ONE query load covers the whole group (row i = pixel i's
+        # replicated q) — halving the slice count matters more than bytes
+        qg = q_ref[0, 0, 0:gsz, pl.ds(pl.multiple_of(g * _LANES, 128), _LANES)]
         prods = []
         subrow = []
-        for i in range(8):
-            x = g * 8 + i
+        subcol = []
+        for i in range(gsz):
+            x = g * gsz + i
             yb = yb_ref[0, 0, 0, x]
             xo = xo_ref[0, 0, 0, x]
             subrow.append(yb & 7)
             ya = pl.multiple_of((yb >> 3) << 3, 8)
+            if shifted:
+                s = xo & 127
+                subcol.append(s)
+                xo = xo - s
             blk = f_ref[0, pl.ds(ya, 16), pl.ds(pl.multiple_of(xo, 128), _LANES)]
-            prods.append(blk * jnp.broadcast_to(q8[i : i + 1], (16, _LANES)))
-        stacked = jnp.concatenate(prods, axis=0)  # (128, 256)
+            prods.append(blk * jnp.broadcast_to(qg[i : i + 1], (16, _LANES)))
+        stacked = jnp.concatenate(prods, axis=0)  # (16*gsz, 256)
         dots = jnp.dot(stacked, sel, preferred_element_type=jnp.float32, precision=precision)
         outs = []
-        for i in range(8):
+        for i in range(gsz):
             d16 = pltpu.roll(dots[16 * i : 16 * i + 16, :], shift=-subrow[i], axis=0)
-            outs.append(d16[0:8, :])
+            if shifted:
+                d16 = pltpu.roll(d16, shift=-subcol[i], axis=1)
+            outs.append(d16[0:8, 0:out_t])
+        row = jnp.concatenate(outs, axis=1)  # (8, gsz*out_t)
+        o_ref[0, 0, 0:8, pl.ds(pl.multiple_of(g * gsz * out_t, 128), gsz * out_t)] = row
+        return carry
+
+    jax.lax.fori_loop(0, groups, body, 0)
+
+
+def _dots8_kernel(
+    rowidx_ref, xo_ref, f8_ref, q_ref, o_ref, scratch_ref, sem_ref, *, groups, taps, precision, nbuf
+):
+    """Double-buffered DMA variant (round-3; the round-2 post-mortem's named
+    fix). The feature map lives in HBM as an 8-copy row-shifted stack
+    (f8[s, r, :] = f_pad[r + s, :]): each pixel's 8 window rows are ONE
+    aligned (8, 256) block at a precomputed 8-aligned row index, fetched by
+    an async copy into a rotating VMEM scratch slot. Group g+nbuf-1's eight
+    copies are issued before computing group g, so the serial scalar
+    address chain that bounds the v1 kernel (~600 cyc/group of dynamic VMEM
+    loads, BENCH_NOTES.md) overlaps the DMA engine's data movement instead
+    of stalling the vector pipeline. No rolls: the stack index resolves the
+    sublane misalignment that v1 handled with 16-row loads + per-pixel rolls.
+    """
+    c = _LANES // taps
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 0) // c
+        == jax.lax.broadcasted_iota(jnp.int32, (_LANES, taps), 1)
+    ).astype(f8_ref.dtype)
+
+    batch = pl.program_id(0)  # f8 is un-blocked (ANY/HBM): index the batch axis
+
+    def issue(g):
+        slot = jax.lax.rem(jnp.int32(g), jnp.int32(nbuf))
+        for i in range(8):
+            x = g * 8 + i
+            ri = rowidx_ref[0, 0, 0, x]
+            xo = xo_ref[0, 0, 0, x]
+            pltpu.make_async_copy(
+                f8_ref.at[
+                    batch, pl.ds(pl.multiple_of(ri, 8), 8), pl.ds(pl.multiple_of(xo, 128), _LANES)
+                ],
+                scratch_ref.at[slot, pl.ds(8 * i, 8), :],
+                sem_ref.at[slot, i],
+            ).start()
+
+    for g0 in range(min(nbuf - 1, groups)):
+        issue(g0)
+
+    def body(g, carry):
+        slot = jax.lax.rem(g, jnp.int32(nbuf))
+
+        @pl.when(g + nbuf - 1 < groups)
+        def _():
+            issue(g + nbuf - 1)
+
+        # wait on this group's copies; the descriptor is size-only for the
+        # wait, so static dummy indices avoid re-reading the SMEM scalars
+        for i in range(8):
+            pltpu.make_async_copy(
+                f8_ref.at[batch, pl.ds(0, 8), pl.ds(0, _LANES)],
+                scratch_ref.at[slot, pl.ds(8 * i, 8), :],
+                sem_ref.at[slot, i],
+            ).wait()
+
+        q8 = q_ref[0, 0, 0:8, pl.ds(pl.multiple_of(g * _LANES, 128), _LANES)]
+        prods = []
+        for i in range(8):
+            blk = scratch_ref[slot, pl.ds(8 * i, 8), :]
+            prods.append(blk * jnp.broadcast_to(q8[i : i + 1], (8, _LANES)))
+        stacked = jnp.concatenate(prods, axis=0)  # (64, 256)
+        dots = jnp.dot(stacked, sel, preferred_element_type=jnp.float32, precision=precision)
+        outs = [dots[8 * i : 8 * i + 8, :] for i in range(8)]
         row = jnp.concatenate(outs, axis=1)  # (8, 8*taps)
         o_ref[0, 0, 0:8, pl.ds(pl.multiple_of(g * 8 * taps, 128), 8 * taps)] = row
         return carry
@@ -126,9 +233,51 @@ def _dots_kernel(yb_ref, xo_ref, f_ref, q_ref, o_ref, *, groups: int, taps: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "c", "hp", "wp", "taps", "precision", "interpret")
+    jax.jit, static_argnames=("h", "w", "c", "hp8", "wp", "taps", "precision", "interpret", "nbuf")
 )
-def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret):
+def _dots8(rowidx, xo, f8, q_rep, *, h, w, c, hp8, wp, taps, precision, interpret, nbuf):
+    """(B,h,wk) row/lane bases + HBM row-shifted stack -> (B, h, 8, wk*taps)."""
+    b = q_rep.shape[0]
+    wk = rowidx.shape[-1]
+    ri4 = rowidx.reshape(b, h, 1, wk)
+    xo4 = xo.reshape(b, h, 1, wk)
+    q4 = q_rep.reshape(b, h, 8, (wk // 8) * _LANES)
+    kernel = functools.partial(
+        _dots8_kernel, groups=wk // 8, taps=taps, precision=precision, nbuf=nbuf
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # the stack stays in HBM
+            pl.BlockSpec(
+                (1, 1, 8, (wk // 8) * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, wk * taps), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, 64, _LANES), f8.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, 8)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, 8, wk * taps), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes()),
+        interpret=interpret,
+    )(ri4, xo4, f8, q4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h", "w", "c", "hp", "wp", "taps", "precision", "interpret", "gsz", "shifted"),
+)
+def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret, gsz=8, shifted=False):
     """(B,h,wk) bases + padded map -> (B, h, 8, wk*taps) tap dot products.
 
     The base/query operands get an explicit singleton axis before the lane
@@ -139,11 +288,12 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
     """
     b = q_rep.shape[0]
     wk = yb.shape[-1]
+    out_t = 8 if shifted else taps
     yb4 = yb.reshape(b, h, 1, wk)
     xo4 = xo.reshape(b, h, 1, wk)
-    q4 = q_rep.reshape(b, h, 8, (wk // 8) * _LANES)
+    q4 = q_rep.reshape(b, h, gsz, (wk // gsz) * _LANES)
     kernel = functools.partial(
-        _dots_kernel, groups=wk // 8, taps=taps, precision=precision
+        _dots_kernel, groups=wk // gsz, taps=taps, precision=precision, gsz=gsz, shifted=shifted
     )
     f_spec = pl.BlockSpec((1, hp, wp * c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -154,20 +304,33 @@ def _dots16(yb, xo, f_pad, q_rep, *, h, w, c, hp, wp, taps, precision, interpret
             pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
             f_spec,
             pl.BlockSpec(
-                (1, 1, 8, (wk // 8) * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, gsz, (wk // gsz) * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8, wk * taps), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, 8, wk * out_t), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, 8, wk * taps), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, 8, wk * out_t), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes()),
         interpret=interpret,
     )(yb4, xo4, f_pad, q4)
+
+
+def _window_variant() -> str:
+    """Kernel generation: "v2" (HBM row-shifted stack + double-buffered DMA
+    prefetch; round-3) or "v1" (VMEM-resident map + dynamic loads; round-2).
+    "v2n<k>" selects v2 with k scratch buffers. Env override UFM_WINDOW_KERNEL.
+
+    Default "g32s" (round-3): 32-pixel groups + kernel-side alignment shift,
+    23.3 ms/b4 vs the round-2 kernel's 72-80 ms at 420x560xC16 and exact
+    fp32 epilogue (BENCH_NOTES.md round 3)."""
+    import os
+
+    return os.environ.get("UFM_WINDOW_KERNEL", "g32s")
 
 
 def window_scores_pallas(
@@ -178,6 +341,7 @@ def window_scores_pallas(
     *,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool | None = None,
+    variant: str | None = None,
 ) -> jnp.ndarray:
     """Raw window scores (B, H, W, P, P) — Σ_lm wy_l wx_m dots[i+l, j+m] —
     numerically matching the XLA fused path before temperature/bias/softmax.
@@ -190,6 +354,8 @@ def window_scores_pallas(
     )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if variant is None:
+        variant = _window_variant()
     from ufm_tpu.ops.spmd import spmd_enabled
 
     fn = _window_scores_spmd if spmd_enabled() else _window_scores_impl
@@ -200,6 +366,7 @@ def window_scores_pallas(
         int(local_patch),
         precision,
         bool(interpret),
+        str(variant),
     )
 
 
@@ -216,11 +383,11 @@ def _batch_spec(sharding, ndim: int) -> P:
     return P(spec[0], *([None] * (ndim - 1)))
 
 
-def _ws_infer_sharding(p, precision, interpret, mesh, arg_shapes, result_shape):
+def _ws_infer_sharding(p, precision, interpret, variant, mesh, arg_shapes, result_shape):
     return NamedSharding(mesh, _batch_spec(arg_shapes[0].sharding, 5))
 
 
-def _ws_partition(p, precision, interpret, mesh, arg_shapes, result_shape):
+def _ws_partition(p, precision, interpret, variant, mesh, arg_shapes, result_shape):
     b_axis = _batch_spec(arg_shapes[0].sharding, 4)[0]
     arg_shardings = tuple(
         NamedSharding(mesh, P(b_axis, *([None] * (len(s.shape) - 1)))) for s in arg_shapes
@@ -228,14 +395,14 @@ def _ws_partition(p, precision, interpret, mesh, arg_shapes, result_shape):
     out_sharding = NamedSharding(mesh, P(b_axis, None, None, None, None))
 
     def lower_fn(q, f, flow):
-        return _window_scores_impl(q, f, flow, p, precision, interpret)
+        return _window_scores_impl(q, f, flow, p, precision, interpret, variant)
 
     return mesh, lower_fn, out_sharding, arg_shardings
 
 
-@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
-def _window_scores_spmd(q, f, flow, p, precision, interpret):
-    return _window_scores_impl(q, f, flow, p, precision, interpret)
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5, 6))
+def _window_scores_spmd(q, f, flow, p, precision, interpret, variant):
+    return _window_scores_impl(q, f, flow, p, precision, interpret, variant)
 
 
 _window_scores_spmd.def_partition(
@@ -245,8 +412,10 @@ _window_scores_spmd.def_partition(
 )
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _window_scores_impl(query_features, target_features, flow, local_patch, precision, interpret):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _window_scores_impl(
+    query_features, target_features, flow, local_patch, precision, interpret, variant="v1"
+):
     p = local_patch
     r = (p - 1) // 2
     b, h, w, c = target_features.shape
@@ -292,49 +461,103 @@ def _window_scores_impl(query_features, target_features, flow, local_patch, prec
     xa = (xb // gpx) * gpx
     s = xb - xa  # in [0, gpx)
 
-    f_pad = jnp.pad(f, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
-    f_pad = f_pad.reshape(b, hp, wp * c)
+    # group size: pixels per kernel loop iteration ("g16"/"g32" variants);
+    # a trailing "s" ("g16s"/"g32s") selects the shifted-output kernel
+    shifted = variant.startswith("g") and variant.endswith("s")
+    core = variant[:-1] if shifted else variant
+    gsz = int(core[1:]) if core.startswith("g") else 8
+    assert not shifted or gsz >= 16, "shifted output needs gsz >= 16 (out-lane stride)"
 
-    # Pad the pixel axis to a multiple of the 8-pixel group (bases point at
+    # Pad the pixel axis to a multiple of the pixel group (bases point at
     # the always-valid padded origin; results are sliced off).
-    wk = ((w + 7) // 8) * 8
+    wk = ((w + gsz - 1) // gsz) * gsz
     if wk != w:
         pad_px = ((0, 0), (0, 0), (0, wk - w))
         yb_k = jnp.pad(yb, pad_px)
         xa_k = jnp.pad(xa, pad_px)
+        s_k = jnp.pad(s, pad_px)
         q_px = jnp.pad(q, ((0, 0), (0, 0), (0, wk - w), (0, 0)))
     else:
-        yb_k, xa_k = yb, xa
+        yb_k, xa_k, s_k = yb, xa, s
         q_px = q
 
-    # group-major replicated query: row i of group g is pixel (g*8+i)'s
-    # (taps × c) replication — the kernel loads one (8, 256) slice per group
+    # group-major replicated query: row i of group g is pixel (g*gsz+i)'s
+    # (taps × c) replication — the kernel loads one (gsz, 256) slice per group
     q_rep = jnp.broadcast_to(
         q_px[:, :, :, None, :], (b, h, wk, taps, c)
-    ).reshape(b, h, wk // 8, 8, _LANES)
-    q_rep = jnp.transpose(q_rep, (0, 1, 3, 2, 4)).reshape(b, h, 8 * (wk // 8) * _LANES)
+    ).reshape(b, h, wk // gsz, gsz, _LANES)
+    q_rep = jnp.transpose(q_rep, (0, 1, 3, 2, 4)).reshape(b, h, gsz * (wk // gsz) * _LANES)
 
-    dots = _dots16(
-        yb_k,
-        xa_k * c,
-        f_pad,
-        q_rep,
-        h=h,
-        w=w,
-        c=c,
-        hp=hp,
-        wp=wp,
-        taps=taps,
-        precision=precision,
-        interpret=bool(interpret),
-    )
-    dots = dots.reshape(b, h, 8, wk, taps)[:, :, :, :w, :]
-    dots = jnp.transpose(dots, (0, 1, 3, 2, 4))  # (B, H, W, 8, taps)
+    if variant.startswith("v2"):
+        # "v2" = double-buffered; "v2n<k>" = k scratch buffers (deeper prefetch)
+        nbuf = int(variant[3:]) if len(variant) > 3 else 2
+        # HBM row-shifted stack: f8[s, r, :] = f_pad[r + s, :]; a pixel's 8
+        # window rows [yb, yb+8) are ONE 8-aligned (8, 256) block at
+        # rowidx = (yb & 7) * hp8 + ((yb >> 3) << 3) in the flattened stack.
+        hp8 = ((hp + 7) // 8) * 8
+        f_pad2 = jnp.pad(f, ((0, 0), (pad_t, pad_b + (hp8 - hp) + 7), (pad_l, pad_r), (0, 0)))
+        f_pad2 = f_pad2.reshape(b, hp8 + 7, wp * c)
+        f8 = jnp.stack([f_pad2[:, s : s + hp8] for s in range(8)], axis=1)
+        f8 = f8.reshape(b, 8 * hp8, wp * c)
+        rowidx = (yb_k & 7) * hp8 + ((yb_k >> 3) << 3)
+        dots = _dots8(
+            rowidx,
+            xa_k * c,
+            f8,
+            q_rep,
+            h=h,
+            w=w,
+            c=c,
+            hp8=hp8,
+            wp=wp,
+            taps=taps,
+            precision=precision,
+            interpret=bool(interpret),
+            nbuf=nbuf,
+        )
+    else:
+        f_pad = jnp.pad(f, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+        f_pad = f_pad.reshape(b, hp, wp * c)
+        dots = _dots16(
+            yb_k,
+            xa_k * c + s_k if shifted else xa_k * c,
+            f_pad,
+            q_rep,
+            h=h,
+            w=w,
+            c=c,
+            hp=hp,
+            wp=wp,
+            taps=taps,
+            precision=precision,
+            interpret=bool(interpret),
+            gsz=gsz,
+            shifted=shifted,
+        )
+    out_t = 8 if shifted else taps
+    dots = dots.reshape(b, h, 8, wk, out_t)[:, :, :, :w, :]
+    dots = jnp.transpose(dots, (0, 1, 3, 2, 4))  # (B, H, W, 8, out_t)
+
+    wx = jnp.stack(cubic_weights(tx), axis=-1)  # (B, H, W, 4)
+    wy = jnp.stack(cubic_weights(ty), axis=-1)
+
+    if shifted:
+        # taps arrive pre-aligned (tap u = window position u): the separable
+        # bicubic combination is 4+4 static-slice multiply-adds — no
+        # per-pixel one-hot weight tensors (same structure as the XLA fused
+        # path, ops/refinement.py)
+        sx = sum(
+            wx[..., mm, None, None] * jax.lax.dynamic_slice_in_dim(dots, mm, p, axis=4)
+            for mm in range(4)
+        )  # (B, H, W, 8, P)
+        scores = sum(
+            wy[..., ll, None, None] * jax.lax.dynamic_slice_in_dim(sx, ll, p, axis=3)
+            for ll in range(4)
+        )
+        return scores  # (B, H, W, P, P) [i=y, j=x]
 
     # Separable bicubic combination. x taps carry the per-pixel aligned-base
     # shift s: scores_x[j] = Σ_m wx_m · dots[..., s + j + m].
-    wx = jnp.stack(cubic_weights(tx), axis=-1)  # (B, H, W, 4)
-    wy = jnp.stack(cubic_weights(ty), axis=-1)
     it = jnp.arange(taps, dtype=jnp.int32)
     ij = jnp.arange(p, dtype=jnp.int32)
     # (B, H, W, taps, P): weight of tap t toward window column j

@@ -150,7 +150,7 @@ def main():
     import ufm_tpu.models.network as network_mod
     from ufm_tpu.ops.refinement import fused_refinement_attention
 
-    def refine_zeros(q, f, fl, bias, temp, p, impl="auto"):
+    def refine_zeros(q, f, fl, bias, temp, p, **_kw):
         b, h, w, _ = q.shape
         return jnp.zeros((b, h, w, 2), q.dtype), jnp.zeros((b, h, w, p, p), q.dtype)
 

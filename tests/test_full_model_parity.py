@@ -7,6 +7,15 @@ tests/torch_twins.py) is converted through the *production* loader
 merge) and must reproduce our flax forward on every output field. This is the
 zero-egress stand-in for loading the released ``infinity1096/UFM-*`` weights
 (SURVEY.md §2.9, BASELINE.md ≤0.1px EPE north star).
+
+Precision caveat (advisor r2): these tests run fp32 on CPU. On TPU the refine
+variant's production default ``refinement_matmul_precision="default"`` feeds
+the window-scores kernel bf16 operands — a deliberate speed default with
+measured refined-flow drift ≤0.025 px max / 0.009 px p99.9 vs "highest"
+(BENCH_NOTES.md), well inside the 0.1 px parity budget but NOT inside these
+tests' tolerances. Set ``refinement_matmul_precision="highest"`` when
+bit-level agreement with an fp32 reference matters more than ~25% refine
+throughput.
 """
 
 import importlib.util

@@ -55,6 +55,14 @@ def main():
 
     h, w = 420, 560
     cfg = ufm_base_config()
+    # Remat the transformer stacks by default: the flagship's saved backward
+    # residuals otherwise exceed single-chip HBM by ~4 GB at batch 2 even
+    # with donated train state (measured 2026-08-17: 19.5G vs 15.75G).
+    remat = os.environ.get("UFM_TRAIN_REMAT", "1") == "1"
+    if remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, train_remat=True)
     net = UFMNet(cfg)
     img = jnp.zeros((B, h, w, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), img, img)["params"]
@@ -63,7 +71,9 @@ def main():
 
     optimizer = make_optimizer(params, learning_rate=1e-4)
     opt_state = jax.jit(optimizer.init)(params)
-    step_fn = jax.jit(make_train_step(net.apply, optimizer))
+    # donate params+opt_state: without donation the updated copies double the
+    # ~5 GB of fp32 train state and the b2 step OOMs HBM by ~320 MB
+    step_fn = jax.jit(make_train_step(net.apply, optimizer), donate_argnums=(0, 1))
 
     batch = synthetic_batch(B, h, w, seed=1)
 
@@ -80,6 +90,7 @@ def main():
 
     rec = {
         "batch": B,
+        "remat": remat,
         "resolution": "560x420",
         "model": "flagship confidence variant (ViT-L/14 + global-attn + 2 DPT heads)",
         "params_m": round(n_params / 1e6, 1),

@@ -32,6 +32,33 @@ def test_fit_reduces_loss(tiny_net_params):
     assert np.isfinite(float(out["metrics"]["total_loss"]))
 
 
+def test_remat_matches_plain_gradients(tiny_net_params):
+    """train_remat=True must change only memory, not numerics: identical
+    param structure and matching loss gradients (nn/layers.py
+    scan_transformer_blocks remat path)."""
+    import dataclasses
+
+    net, params = tiny_net_params
+    net_r = UFMNet(dataclasses.replace(net.cfg, train_remat=True))
+    img = jnp.zeros((2, 42, 56, 3))
+    params_r = net_r.init(jax.random.PRNGKey(0), img, img)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_r)
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(2, 42, 56, seed=3).items()}
+
+    def grads(n, p):
+        def loss_fn(pp):
+            out = n.apply({"params": pp}, batch["img1"], batch["img2"])
+            return jnp.mean((out["flow"] - batch["gt_flow"]) ** 2)
+
+        return jax.grad(loss_fn)(p)
+
+    g0 = grads(net, params)
+    g1 = grads(net_r, params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
 def test_fit_checkpoint_resume(tmp_path, tiny_net_params):
     pytest.importorskip("orbax.checkpoint")
     net, params = tiny_net_params

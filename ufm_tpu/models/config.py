@@ -61,6 +61,11 @@ class UFMArchConfig:
     # Precision policy: backbone compute dtype; heads always fp32 (reference
     # autocast policy, base.py:273 / ufm.py:414)
     compute_dtype: str = "bfloat16"
+    # Training-time memory knob: rematerialize the encoder/info-sharing
+    # transformer-block activations in the backward pass (the flagship's
+    # saved residuals otherwise OOM a single chip's HBM at batch 2). No
+    # effect on forward-only (inference) graphs.
+    train_remat: bool = False
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

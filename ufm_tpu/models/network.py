@@ -151,9 +151,16 @@ class UFMNet(nn.Module):
         assert c.info_sharing_and_head_structure == "dual+single", "Only dual+single is supported"
         assert c.head_type != "linear", "Linear head is not supported"
 
-        self.encoder = feature_returner_encoder_factory(c.encoder_str, dtype=dt, **c.encoder_kwargs)
+        remat = {"remat": True} if getattr(c, "train_remat", False) else {}
+        self.encoder = feature_returner_encoder_factory(
+            c.encoder_str, dtype=dt, **{**c.encoder_kwargs, **remat}
+        )
         self.info_sharing = INFO_SHARING_CLASSES[c.info_sharing_str][1](
-            dtype=dt, **_filter_kwargs(INFO_SHARING_CLASSES[c.info_sharing_str][1], c.info_sharing_kwargs)
+            dtype=dt,
+            **{
+                **_filter_kwargs(INFO_SHARING_CLASSES[c.info_sharing_str][1], c.info_sharing_kwargs),
+                **remat,
+            },
         )
 
         self.head1 = self._make_head(c.head_type, c.feature_head_kwargs, name="head1")

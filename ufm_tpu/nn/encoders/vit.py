@@ -79,6 +79,9 @@ class ViTEncoder(nn.Module):
     norm_intermediate: bool = True
     data_norm_type: str = "dinov2"
     mlp_act: str = "gelu_exact"
+    # Rematerialize block activations in the backward pass (training-time
+    # memory knob; no effect on forward-only graphs)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +135,7 @@ class ViTEncoder(nn.Module):
             x,
             self.depth,
             taps=taps,
+            remat=self.remat,
         )
         outputs = [tap_outs[j] for j in range(len(taps))]
 

@@ -81,6 +81,9 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
     norm_intermediate: bool = True
     use_pos_embed: bool = True
     mlp_act: str = "gelu_exact"
+    # Rematerialize block activations in the backward pass (training-time
+    # memory knob; no effect on forward-only graphs)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -128,6 +131,7 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
             x,
             self.depth,
             taps=taps,
+            remat=self.remat,
         )
         intermediates = [
             split_views(norm(tap_outs[j]) if self.norm_intermediate else tap_outs[j])

@@ -116,7 +116,9 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
-def scan_transformer_blocks(block: TransformerBlock, x, depth: int, taps: Optional[tuple] = None):
+def scan_transformer_blocks(
+    block: TransformerBlock, x, depth: int, taps: Optional[tuple] = None, remat: bool = False
+):
     """Run ``depth`` transformer layers as ONE ``lax.scan`` over stacked
     parameters.
 
@@ -138,14 +140,30 @@ def scan_transformer_blocks(block: TransformerBlock, x, depth: int, taps: Option
     ``{block.name}/<sub>/...`` with a leading layer axis; the checkpoint
     converter stacks/unstacks per-layer torch weights to match
     (checkpoint/convert.py) — identical for both tap modes.
+
+    With ``remat=True`` the block body is wrapped in ``nn.remat`` (save only
+    layer inputs; recompute activations in the backward pass). The flagship's
+    24-layer encoder otherwise stacks several (depth, 2B, S, D) residual
+    buffers for backward and a single-chip train step OOMs HBM. Forward-only
+    graphs are unaffected (no residuals are saved without a grad).
     """
     import jax
     import jax.numpy as jnp
 
+    # Remat ONLY the block call, not the whole scan body: checkpointing the
+    # body would make scan save the tap-buffer carry as a per-step residual
+    # (depth × (n_taps+1) × activation), defeating the point. prevent_cse is
+    # safe under scan and lets XLA fuse the rematerialized forward.
+    def call_block(blk, h):
+        return blk(h)
+
+    if remat:
+        call_block = nn.remat(call_block, prevent_cse=False)
+
     if taps is None:
 
         def body(blk, carry, _):
-            y = blk(carry)
+            y = call_block(blk, carry)
             return y, y
 
         scanned = nn.scan(
@@ -162,7 +180,7 @@ def scan_transformer_blocks(block: TransformerBlock, x, depth: int, taps: Option
 
     def body(blk, carry, i):
         h, buf = carry
-        y = blk(h)
+        y = call_block(blk, h)
         # slot j when layer i == taps[j], else the scratch slot n_taps —
         # a scalar select chain plus ONE dynamic buffer write per layer
         slot = jnp.int32(n_taps)

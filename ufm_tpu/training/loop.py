@@ -50,7 +50,14 @@ def fit(
             net.apply, optimizer, mesh, params, loss_weights
         )
     else:
-        step_fn = jax.jit(make_train_step(net.apply, optimizer, loss_weights))
+        # Donate param/opt-state buffers (matches the sharded path): without
+        # donation the updated copies double the fp32 train state in HBM and
+        # the flagship OOMs a single chip. Copy first so donation of the
+        # first step cannot invalidate the caller's arrays.
+        params = jax.tree.map(lambda x: jax.numpy.array(x, copy=True), params)
+        step_fn = jax.jit(
+            make_train_step(net.apply, optimizer, loss_weights), donate_argnums=(0, 1)
+        )
         opt_state = optimizer.init(params)
         place_batch = lambda b: {k: jax.numpy.asarray(v) for k, v in b.items()}
 

@@ -63,7 +63,14 @@ def main():
 
     results = {}
     for name, fn in stages.items():
-        jf = jax.jit(lambda p, a, b, fn=fn: jnp.sum(jax.tree.leaves(fn(p, a, b))[0][:, ::64]) * 1e-6)
+        # consume EVERY output leaf: summing just one lets XLA dead-code-
+        # eliminate whole heads (measured: heads_delta 25.3 vs 38 ms real)
+        jf = jax.jit(
+            lambda p, a, b, fn=fn: sum(
+                jnp.sum(x[..., ::3]).astype(jnp.float32) for x in jax.tree.leaves(fn(p, a, b))
+            )
+            * 1e-6
+        )
         t = median_dispatch(lambda a, b: jf(params, a, b), (i1, i2)) - tunnel
         results[name] = round(t * 1e3, 1)
         print(f"{name}: {results[name]} ms/b{B}", flush=True)

@@ -11,6 +11,16 @@ All convs are channel-last (NHWC) XLA convolutions — the layout the TPU
 vector units and MXU want. Upsampling inside the fusion path uses
 align_corners=True bilinear (DPT convention); the final decode resizes to the
 exact ``target_output_shape``.
+
+Precision: the head's matmul-based resizes run at DEFAULT matmul precision
+(``interp_precision="default"``), consistent with the convolutions around
+them — on TPU, DEFAULT rounds matmul inputs to bf16 (single MXU pass), and
+every conv in this head already does that. HIGHEST-precision resizes between
+default-precision convs cost 6 MXU passes each (~8 ms/head of the 13 ms
+flagship head at b4, see BENCH_NOTES.md round 3) while adding one fewer
+bf16 rounding among ~15; measured effect on flagship flow outputs is
+≤0.05 px. Set ``interp_precision="highest"`` (per head via the config's
+``dpt_feature``/``dpt_processor`` kwargs) to restore fp32 resizes.
 """
 
 from __future__ import annotations
@@ -18,6 +28,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax.lax
 import jax.numpy as jnp
 
 from ufm_tpu.nn.prediction_heads.base import (
@@ -27,6 +38,10 @@ from ufm_tpu.nn.prediction_heads.base import (
 from ufm_tpu.ops.resize import resize_hwc
 
 __all__ = ["DPTFeature", "DPTRegressionProcessor"]
+
+
+def _interp_precision(name: str):
+    return {"default": jax.lax.Precision.DEFAULT, "highest": jax.lax.Precision.HIGHEST}[name]
 
 
 class _ResidualConvUnit(nn.Module):
@@ -49,16 +64,18 @@ class _FeatureFusionBlock(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    interp_precision: str = "default"
 
     @nn.compact
     def __call__(self, x, skip=None):
+        prec = _interp_precision(self.interp_precision)
         if skip is not None:
             if x.shape[1:3] != skip.shape[1:3]:  # odd patch grids: align to the skip level
-                x = resize_hwc(x, skip.shape[1:3], antialias=False, align_corners=True)
+                x = resize_hwc(x, skip.shape[1:3], antialias=False, align_corners=True, precision=prec)
             x = x + _ResidualConvUnit(self.dim, dtype=self.dtype, name="rcu_skip")(skip)
         x = _ResidualConvUnit(self.dim, dtype=self.dtype, name="rcu")(x)
         h, w = x.shape[-3] * 2, x.shape[-2] * 2
-        x = resize_hwc(x, (h, w), antialias=False, align_corners=True)
+        x = resize_hwc(x, (h, w), antialias=False, align_corners=True, precision=prec)
         x = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="project")(x)
         return x
 
@@ -75,6 +92,7 @@ class DPTFeature(nn.Module):
     proj_dims: Sequence[int] = (96, 192, 384, 768)
     feature_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    interp_precision: str = "default"
 
     @nn.compact
     def __call__(self, inp: PredictionHeadLayeredInput) -> jnp.ndarray:
@@ -96,10 +114,11 @@ class DPTFeature(nn.Module):
             levels.append(f)
 
         l0, l1, l2, l3 = levels
-        x = _FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="fusion_3")(l3)
-        x = _FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="fusion_2")(x, l2)
-        x = _FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="fusion_1")(x, l1)
-        x = _FeatureFusionBlock(self.feature_dim, dtype=self.dtype, name="fusion_0")(x, l0)
+        ffb = dict(dtype=self.dtype, interp_precision=self.interp_precision)
+        x = _FeatureFusionBlock(self.feature_dim, name="fusion_3", **ffb)(l3)
+        x = _FeatureFusionBlock(self.feature_dim, name="fusion_2", **ffb)(x, l2)
+        x = _FeatureFusionBlock(self.feature_dim, name="fusion_1", **ffb)(x, l1)
+        x = _FeatureFusionBlock(self.feature_dim, name="fusion_0", **ffb)(x, l0)
         return x
 
 
@@ -110,11 +129,18 @@ class DPTRegressionProcessor(nn.Module):
     hidden_dims: Tuple[int, int] = (128, 64)
     output_dim: int = 2
     dtype: jnp.dtype = jnp.float32
+    interp_precision: str = "default"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, target_output_shape: Tuple[int, int]) -> RegressionOutput:
         x = nn.Conv(self.hidden_dims[0], (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
-        x = resize_hwc(x, target_output_shape, antialias=False, align_corners=True)
+        x = resize_hwc(
+            x,
+            target_output_shape,
+            antialias=False,
+            align_corners=True,
+            precision=_interp_precision(self.interp_precision),
+        )
         x = nn.Conv(self.hidden_dims[1], (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype, name="conv3")(x)

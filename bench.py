@@ -10,11 +10,15 @@ backbone / fp32 heads — the hot path of the reference's
 ``predict_correspondences_batched`` (reference base.py:269-274).
 
 Methodology notes for this environment: the TPU is reached through a tunnel
-whose per-dispatch overhead is ~36 ms and whose ``block_until_ready`` does
-not block, so throughput is measured by scanning N forwards inside ONE jitted
-computation (device-resident inputs) and syncing on a scalar fetch; batch-1
-latency is measured per-dispatch (and therefore includes the tunnel
-round-trip — an upper bound on on-host latency).
+whose per-dispatch overhead is ~33-36 ms and whose ``block_until_ready`` does
+not block, so all timings sync on a scalar value fetch. Headline throughput
+is the per-dispatch median of the full-batch forward minus the measured
+tunnel constant (trivial-op dispatch median) — the same tunnel-cancelling
+scheme as bench_refine_modes.py / bench_serving.py; the rounds-1/2
+scan-of-N-forwards figure is kept as ``pairs_per_sec_scanned`` (the two
+agree within run-to-run variance, BENCH_NOTES.md round 3).
+Batch-1 latency is measured per-dispatch (includes the tunnel round trip)
+and on-chip via a two-length scan delta where the constant cancels.
 
 ``vs_baseline`` compares against a measured PyTorch-CPU reference throughput
 when available in bench_baseline.json (the reference repo publishes no
@@ -118,12 +122,41 @@ def main() -> None:
     sync(scan_forwards(params, img1, img2))
     sync(single(params, img1[:1], img2[:1]))
 
-    # throughput: one dispatch, inner_iters forwards
+    # Tunnel constant: this environment reaches the TPU through an HTTP
+    # tunnel that adds a fixed per-dispatch round trip (~33-36 ms). Measure
+    # it on a trivial jitted op so real dispatches can report on-chip time —
+    # the same methodology as bench_refine_modes.py / bench_serving.py.
+    trivial = jax.jit(lambda x: jnp.sum(x) * 2.0)
+    sync(trivial(img1[:1, :2, :2, 0]))
+
+    # throughput (headline): per-dispatch median of the full-batch forward
+    # minus the tunnel constant — one production dispatch, environment
+    # artifact removed. On a directly-attached TPU host dispatch overhead is
+    # microseconds, so this is the deployable per-chip rate. Trivial-op
+    # samples are interleaved with the forward samples so tunnel-latency
+    # drift within the run cancels in the median difference.
+    full = jax.jit(one_forward)
+    sync(full(params, img1, img2))
+    dts, tl = [], []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        sync(full(params, img1, img2))
+        t1 = time.perf_counter()
+        sync(trivial(img1[:1, :2, :2, 0]))
+        t2 = time.perf_counter()
+        dts.append(t1 - t0)
+        tl.append(t2 - t1)
+    tunnel_ms = float(np.median(tl) * 1e3)
+    onchip_ms = float(np.median(dts) * 1e3) - tunnel_ms
+    pairs_per_sec = batch / (onchip_ms / 1e3)
+
+    # scanned throughput (rounds 1-2 methodology, kept for continuity):
+    # one dispatch running inner_iters forwards inside a lax.scan
     t0 = time.perf_counter()
     acc = scan_forwards(params, img1, img2)
     sync(acc)
     dt = time.perf_counter() - t0
-    pairs_per_sec = batch * inner_iters / dt
+    pairs_per_sec_scanned = batch * inner_iters / dt
 
     # batch-1 latency per dispatch (includes tunnel round trip)
     lat = []
@@ -179,6 +212,9 @@ def main() -> None:
         "p50_latency_ms_batch1_onchip": round(p50_onchip_ms, 2),
         "batch": batch,
         "inner_iters": inner_iters,
+        "tunnel_ms": round(tunnel_ms, 1),
+        "ms_per_batch_onchip": round(onchip_ms, 1),
+        "pairs_per_sec_scanned": round(pairs_per_sec_scanned, 3),
         "device": str(jax.devices()[0]),
         "baseline_pairs_per_sec_torch_cpu": baseline_info.get("torch_cpu_pairs_per_sec"),
     }

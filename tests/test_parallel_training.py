@@ -119,3 +119,80 @@ def test_tp_fsdp_forward_matches_single(tiny_net_and_params, rng):
         np.testing.assert_allclose(
             np.asarray(sharded[key]), np.asarray(single[key]), rtol=2e-4, atol=2e-4, err_msg=key
         )
+
+
+def test_tp_fsdp_refine_staged_matches_single(rng):
+    """The refine variant's param families (patch-MLP classification head,
+    UNet convs, window-dots refinement) have their own kernel shapes; push
+    them through shard_params + a model=2/fsdp=2/data=2 mesh and require the
+    STAGED production path (backbone + refine_tail) to match single-device
+    numerics. Pins the TP regexes (incl. the generic fc\\d* rule matching the
+    classification head) against divisibility/partition regressions."""
+    import jax.numpy as jnp
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ufm_tpu.models import UFMNet, ufm_tiny_config
+
+    cfg = ufm_tiny_config(
+        has_classification_head=True,
+        use_unet_feature=True,
+        refinement_range=3,
+        refinement_impl="xla",
+    )
+    net = UFMNet(cfg)
+    img1 = jnp.asarray(rng.standard_normal((4, 42, 56, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.standard_normal((4, 42, 56, 3)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), img1, img2)["params"]
+
+    single_bb = net.apply({"params": params}, img1, img2, method="backbone")
+    single_tail = net.apply(
+        {"params": params},
+        img1,
+        img2,
+        single_bb["flow"],
+        single_bb["cls_in_0"],
+        single_bb["cls_in_1"],
+        method="refine_tail",
+    )
+
+    mesh = make_mesh(8, data=2, fsdp=2, model=2)
+    shardings, placed = shard_params(params, mesh)
+    batch_spec = NamedSharding(mesh, P("data"))
+
+    bb = jax.jit(
+        lambda p, a, b: net.apply({"params": p}, a, b, method="backbone"),
+        in_shardings=(shardings, batch_spec, batch_spec),
+        # pin stage-boundary tensors to the batch sharding: the staged
+        # production contract (tail consumes data-sharded activations)
+        out_shardings=batch_spec,
+    )
+    tail = jax.jit(
+        lambda p, a, b, f, c0, c1: net.apply(
+            {"params": p}, a, b, f, c0, c1, method="refine_tail"
+        ),
+        in_shardings=(shardings, batch_spec, batch_spec, batch_spec, batch_spec, batch_spec),
+    )
+    with mesh:
+        s_bb = bb(placed, jax.device_put(img1, batch_spec), jax.device_put(img2, batch_spec))
+        s_tail = tail(
+            placed,
+            jax.device_put(img1, batch_spec),
+            jax.device_put(img2, batch_spec),
+            s_bb["flow"],
+            s_bb["cls_in_0"],
+            s_bb["cls_in_1"],
+        )
+
+    for key in single_bb:
+        np.testing.assert_allclose(
+            np.asarray(s_bb[key]), np.asarray(single_bb[key]), rtol=2e-4, atol=2e-4, err_msg=key
+        )
+    for key in single_tail:
+        np.testing.assert_allclose(
+            np.asarray(s_tail[key]),
+            np.asarray(single_tail[key]),
+            rtol=2e-4,
+            atol=2e-4,
+            err_msg=key,
+        )

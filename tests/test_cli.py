@@ -46,3 +46,48 @@ def test_flow_to_color_properties(rng):
     # zero flow must map to (near-)white (colorwheel center)
     white = flow_to_color(np.zeros((4, 4, 2), np.float32))
     assert (white > 240).all()
+
+
+def test_cli_eval_missing_dir(capsys):
+    from ufm_tpu.cli import build_parser, run_eval
+
+    args = build_parser().parse_args(["eval", "/nonexistent/dir"])
+    with pytest.raises(SystemExit) as e:
+        run_eval(args)
+    assert e.value.code == 1
+    assert "not a directory" in capsys.readouterr().out
+
+
+def test_cli_eval_synthetic_pairs(tmp_path, capsys):
+    """End-to-end `ufm eval`: tiny checkpoint over one synthetic pair with
+    analytic ground truth -> aggregate metrics printed + JSON written."""
+    import json
+
+    import cv2
+
+    from examples.make_example_pairs import synthetic_pair
+    from ufm_tpu.cli import build_parser, run_eval
+    from ufm_tpu.models import UniFlowMatchConfidence, ufm_tiny_config
+
+    ckpt = tmp_path / "ckpt"
+    UniFlowMatchConfidence.from_config(ufm_tiny_config()).save_pretrained(str(ckpt))
+
+    data = tmp_path / "pairs"
+    data.mkdir()
+    img0, img1, flow, _valid = synthetic_pair(h=42, w=56, seed=3, max_disp=3.0)
+    cv2.imwrite(str(data / "scene_0.png"), cv2.cvtColor(img0, cv2.COLOR_RGB2BGR))
+    cv2.imwrite(str(data / "scene_1.png"), cv2.cvtColor(img1, cv2.COLOR_RGB2BGR))
+    np.save(data / "scene_flow.npy", flow)
+
+    out_json = tmp_path / "metrics.json"
+    args = build_parser().parse_args(
+        ["eval", str(data), "--checkpoint", str(ckpt), "--output", str(out_json)]
+    )
+    run_eval(args)
+
+    printed = capsys.readouterr().out
+    assert "epe:" in printed and "pairs: 1" in printed
+    saved = json.loads(out_json.read_text())
+    assert saved["aggregate"]["num_pairs"] == 1
+    assert np.isfinite(saved["aggregate"]["epe"])
+    assert len(saved["per_pair"]) == 1

@@ -47,6 +47,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="Run with randomly initialized weights (pipeline smoke test; zero-egress environments)",
     )
 
+    ev = sub.add_parser("eval", help="Evaluate on a directory of pairs with ground-truth flow")
+    ev.add_argument("directory", help="Directory of name_0.png/name_1.png + name_flow.npy|.flo|_flow.png")
+    ev.add_argument("--model", choices=sorted(HUB_REPOS), default="base")
+    ev.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
+    ev.add_argument(
+        "--random-init",
+        action="store_true",
+        help="Run with randomly initialized weights (harness smoke test; zero-egress environments)",
+    )
+    ev.add_argument("--tiled", action="store_true", help="Coarse-to-fine tiled high-res inference")
+    ev.add_argument("--output", "-o", help="Write aggregate + per-pair metrics JSON here")
+
     sub.add_parser("test", help="Test installation")
     return parser
 
@@ -54,7 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main() -> None:
     parser = build_parser()
     args = parser.parse_args()
-    handler = {"demo": launch_demo, "infer": run_inference, "test": lambda _: test_installation()}.get(args.command)
+    handler = {
+        "demo": launch_demo,
+        "infer": run_inference,
+        "eval": run_eval,
+        "test": lambda _: test_installation(),
+    }.get(args.command)
     if handler is None:
         parser.print_help()
         return
@@ -130,6 +147,30 @@ def run_inference(args) -> None:
     print(f"Wrote {len(OUTPUT_FILES)} files to {out_dir}:")
     for name in OUTPUT_FILES:
         print(f"  {name}")
+
+
+def run_eval(args) -> None:
+    from ufm_tpu.eval import evaluate_pairs, find_pairs
+
+    if not Path(args.directory).is_dir():
+        _fail(f"Error: not a directory: {args.directory}")
+    if not any(True for _ in find_pairs(args.directory)):
+        _fail(
+            f"Error: no evaluable pairs in {args.directory} "
+            "(expected name_0.png/name_1.png with name_flow.npy, name.flo or name_flow.png)"
+        )
+
+    try:
+        model = _load_model(args.model, args.checkpoint, args.random_init)
+    except Exception as e:
+        _fail(f"Error loading model: {e}")
+    agg = evaluate_pairs(model, args.directory, tiled=args.tiled, out_json=args.output)
+    for k in ("epe", "epe_median", "acc_1px", "acc_3px", "acc_5px", "fl_outlier"):
+        if k in agg:
+            print(f"{k}: {agg[k]:.4f}")
+    print(f"pairs: {int(agg.get('num_pairs', 0))}")
+    if args.output:
+        print(f"Wrote metrics to {args.output}")
 
 
 def launch_demo(args) -> None:

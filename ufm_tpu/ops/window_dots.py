@@ -251,7 +251,7 @@ def _dots8(rowidx, xo, f8, q_rep, *, h, w, c, hp8, wp, taps, precision, interpre
         in_specs=[
             pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, wk), lambda i, j: (i, j, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # the stack stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # the stack stays in HBM
             pl.BlockSpec(
                 (1, 1, 8, (wk // 8) * _LANES), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
             ),

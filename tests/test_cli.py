@@ -1,10 +1,17 @@
 """CLI smoke tests (no model downloads, no TPU)."""
 
+import os
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+# Subprocesses inherit the session's experimental TPU platform; acquiring the
+# tunneled device can take minutes (lease contention), so force the CPU
+# backend — the suite's hermeticity contract (conftest.py) extends to
+# subprocess tests.
+_CPU_ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
 
 def test_cli_help():
@@ -16,7 +23,11 @@ def test_cli_help():
 
 def test_cli_test_subcommand():
     out = subprocess.run(
-        [sys.executable, "-m", "ufm_tpu.cli", "test"], capture_output=True, text=True, timeout=300
+        [sys.executable, "-m", "ufm_tpu.cli", "test"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=_CPU_ENV,
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "UFM-TPU model imports" in out.stdout

@@ -9,7 +9,6 @@ TPU for the backbone, fp32 for prediction heads); parameters are always fp32.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import flax.linen as nn
@@ -27,8 +26,12 @@ __all__ = [
 ]
 
 # torch nn.GELU defaults to the exact (erf) form; flax's default is the tanh
-# approximation — use exact for checkpoint-numerics parity.
-exact_gelu = functools.partial(nn.gelu, approximate=False)
+# approximation — use exact for checkpoint-numerics parity. The production
+# evaluator is ops/gelu.py's fast polynomial erfc, which is bitwise-equal to
+# jax.nn.gelu(approximate=False) for every finite bf16 input (exhaustively
+# verified per backend, tests/test_gelu.py) and ~3x cheaper on the VPU; it
+# falls back to jax.nn.gelu for non-bf16 dtypes.
+from ufm_tpu.ops.gelu import fast_exact_gelu as exact_gelu  # noqa: E402
 
 
 class Mlp(nn.Module):

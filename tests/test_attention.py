@@ -24,7 +24,10 @@ def test_flash_matches_xla(b, s, h, d):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("variant,tol", [("base", 2e-4), ("opt", 5e-3), ("opt2", 5e-3), ("opt4", 5e-3)])
+@pytest.mark.parametrize(
+    "variant,tol",
+    [("base", 2e-4), ("opt", 5e-3), ("opt2", 5e-3), ("opt4", 5e-3), ("pipe2", 5e-3), ("pipe4", 5e-3)],
+)
 def test_flash_variants_match_xla(variant, tol):
     """All kernel bodies against the XLA reference. The "opt*" bodies defer
     softmax normalization to the output and use exp2 — fp32 reassociation
@@ -40,6 +43,25 @@ def test_flash_variants_match_xla(variant, tol):
     ref = _xla_attention(q, k, v, d**-0.5)
     got = flash_attention(q, k, v, interpret=True, variant=variant)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("variant,nsplit", [("pipe2", 2), ("pipe4", 4)])
+def test_flash_pipe_multichain(variant, nsplit):
+    """The pipe bodies with a sequence long enough that the Q block really
+    splits into `nsplit` 128-aligned row chains (at short sequences the
+    block_q clamp collapses nsplit back to 1, which the parametrized test
+    above already covers)."""
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, s, h, d = 1, 500, 2, 64
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+    ref = _xla_attention(q, k, v, d**-0.5)
+    # s=500 pads to 512 -> block_q 512 -> sub-chains of 512/nsplit rows; the
+    # last chain covers the key-padding tail, exercising the mask path too
+    got = flash_attention(q, k, v, interpret=True, variant=variant, block_q=512)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
 
 
 def test_flash_bf16():
@@ -72,6 +94,34 @@ def test_flash_attention_gradients_match_xla():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for gf, gx, name in zip(g_flash, g_xla, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_flash_attention_bf16_gradients_near_fp32():
+    """The backward keeps matmul operands in the input dtype (bf16 in
+    training) with fp32 accumulation; gradients must stay within bf16
+    rounding of the fp32 ground truth."""
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, s, h, d = 1, 72, 2, 16
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+    cot = jax.random.normal(kg, (b, s, h, d), dtype=jnp.float32)
+    scale = d**-0.5
+
+    def loss(dtype):
+        def f(q_, k_, v_):
+            out = flash_attention(
+                q_.astype(dtype), k_.astype(dtype), v_.astype(dtype), scale=scale, interpret=True
+            )
+            return jnp.sum(out.astype(jnp.float32) * cot)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_bf16 = loss(jnp.bfloat16)
+    g_fp32 = loss(jnp.float32)
+    for gb, gx, name in zip(g_bf16, g_fp32, "qkv"):
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gx), rtol=0.1, atol=0.05, err_msg=name)
 
 
 def test_vmem_guard_fallback():

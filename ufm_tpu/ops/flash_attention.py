@@ -151,6 +151,52 @@ def _attn_kernel_opt(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int
     o_ref[0] = (o_acc / l_acc).astype(o_ref.dtype)
 
 
+def _attn_kernel_pipe(q_ref, k_ref, v_ref, o_ref, *, scale: float, valid_len: int, nsplit: int):
+    """Software-pipelined single-pass attention.
+
+    Same math as ``_attn_kernel_opt`` with ``kv_chunks == 1`` (identical op
+    order per row, so identical numerics), but the Q block is split into
+    ``nsplit`` independent row chains and the chains are manually
+    interleaved: chain i+1's score matmul (MXU) is issued before chain i's
+    softmax (VPU) is consumed by its AV matmul. The chains share only K/V, so
+    unlike the falsified online-softmax variants there is zero extra VPU
+    correction work — any overlap Mosaic's scheduler achieves between the
+    independent MXU and VPU chains is pure gain.
+    """
+    s_pad = k_ref.shape[1]
+    sub = q_ref.shape[1] // nsplit
+    k = k_ref[0]
+    v = v_ref[0]
+    q_all = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+
+    def score(i):
+        s = jax.lax.dot_general(
+            q_all[i * sub : (i + 1) * sub],
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if valid_len < s_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+        return s
+
+    s_cur = score(0)
+    for i in range(nsplit):
+        s_next = score(i + 1) if i + 1 < nsplit else None
+        m = jnp.max(s_cur, axis=-1, keepdims=True)
+        p = jnp.exp2(s_cur - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, i * sub : (i + 1) * sub] = (o / l).astype(o_ref.dtype)
+        s_cur = s_next
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -175,7 +221,7 @@ def flash_attention(
         # TPU default is the VPU-lean "opt" body (fp32-reassociation drift
         # ~2e-3, verified closer to the fp64 ground truth than "base" —
         # BENCH_NOTES.md round 3)
-        variant = _kernel_variant(default="base" if interpret else "opt")
+        variant = _kernel_variant(default="base" if interpret else "pipe2")
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if scale is None:
@@ -278,6 +324,13 @@ def _flash_attention_fwd(q, k, v, scale, block_q, interpret, use_spmd, variant):
 
 
 def _flash_attention_bwd(scale, block_q, interpret, use_spmd, variant, residuals, g):
+    # Exact softmax-attention VJP as XLA einsums, fp32 operands. An
+    # "operands stay in input dtype" variant (explicit bf16 casts of p/ds +
+    # preferred_element_type=f32) was built and measured 498-504 vs 383 ms on
+    # the flagship training step (A/B on-chip, BENCH_NOTES round 3): at
+    # DEFAULT matmul precision XLA already rounds these f32 operands to bf16
+    # *inside* the fused matmuls, so the explicit casts only materialized
+    # extra (B, H, S, S) copies. Keep fp32 operands.
     q, k, v = residuals
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     p = jax.nn.softmax(logits, axis=-1)
@@ -295,8 +348,11 @@ _flash_attention_vjp.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def _kernel_variant(default: str = "opt") -> str:
-    """Kernel body selection: "opt" (VPU-lean, the TPU default), "opt2"/"opt4"
-    (online-softmax over 2/4 K/V chunks for MXU/VPU overlap), "base"
+    """Kernel body selection: "pipe2"/"pipe4" (Q block split into 2/4
+    independent row chains, next chain's score matmul interleaved with the
+    current chain's softmax — pipe2 is the TPU default, measured 69-91 TFLOPS
+    vs opt's 42-62 at the model's shapes), "opt" (VPU-lean single chain),
+    "opt2"/"opt4" (online-softmax over 2/4 K/V chunks; measured worse), "base"
     (round-2 reference body; the interpret-mode default). Env override:
     UFM_ATTN_KERNEL."""
     import os
@@ -316,7 +372,7 @@ def _flash_attention_impl(
     variant: str | None = None,
 ) -> jnp.ndarray:
     if variant is None:
-        variant = _kernel_variant(default="base" if interpret else "opt")
+        variant = _kernel_variant(default="base" if interpret else "pipe2")
     b, sq, h, d = q.shape
     sk = k.shape[1]
 
@@ -341,6 +397,13 @@ def _flash_attention_impl(
 
     if variant == "base":
         kernel = functools.partial(_attn_kernel, scale=scale, valid_len=sk)
+    elif variant.startswith("pipe"):
+        # sub-chain boundaries slice Q/O *rows* (the sublane dim), so they
+        # only need sublane alignment (16 covers bf16), not lane alignment
+        nsplit = int(variant[4:]) if len(variant) > 4 else 2
+        while nsplit > 1 and (block_q // nsplit) % 16:
+            nsplit //= 2
+        kernel = functools.partial(_attn_kernel_pipe, scale=scale, valid_len=sk, nsplit=nsplit)
     else:
         chunks = int(variant[3:]) if len(variant) > 3 else 1
         # chunk boundaries must stay lane-aligned

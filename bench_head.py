@@ -2,17 +2,18 @@
 and measure candidate optimizations before changing model defaults.
 
 Variants:
-  fp32      — the production configuration today (fp32 dtype, HIGHEST-precision
-              matmul resizes inside the head).
+  fp32      — the ROUND-2 production configuration (fp32 dtype,
+              HIGHEST-precision matmul resizes inside the head), requested
+              explicitly via interp_precision="highest".
   fp32_dres — fp32 dtype, DEFAULT-precision resizes (consistent with the
               surrounding convs, which already run at TPU default = bf16
-              single-pass input rounding).
+              single-pass input rounding). The round-3 production default
+              (commit 9b4d8cf was justified by this comparison).
   bf16      — bf16 compute dtype throughout the head (params fp32), DEFAULT
               resizes. Reports max |Δflow| vs the fp32 variant.
   fusion / regression — stage split of the fp32 variant.
 """
 
-import functools
 import json
 import time
 
@@ -48,7 +49,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import ufm_tpu.nn.prediction_heads.dpt as dptmod
     from ufm_tpu.nn.prediction_heads.base import PredictionHeadLayeredInput
     from ufm_tpu.nn.prediction_heads.dpt import DPTFeature, DPTRegressionProcessor
 
@@ -66,15 +66,23 @@ def main():
 
     results = {}
 
-    def build(dtype):
-        feat = DPTFeature(dtype=dtype)
-        proc = DPTRegressionProcessor(output_dim=OUT_DIM, dtype=dtype)
+    def build(dtype, interp_precision):
+        feat = DPTFeature(dtype=dtype, interp_precision=interp_precision)
+        proc = DPTRegressionProcessor(
+            output_dim=OUT_DIM, dtype=dtype, interp_precision=interp_precision
+        )
         fp = feat.init(jax.random.PRNGKey(0), PredictionHeadLayeredInput(feats, TARGET))
         fused0 = feat.apply(fp, PredictionHeadLayeredInput(feats, TARGET))
         pp = proc.init(jax.random.PRNGKey(1), fused0, TARGET)
         return feat, proc, fp, pp
 
-    feat32, proc32, fp32p, pp32 = build(jnp.float32)
+    # The "fp32" baseline is the ROUND-2 production configuration: HIGHEST
+    # (true-fp32) matmul resizes. The heads' own default flipped to "default"
+    # in round 3 (commit 9b4d8cf, justified by this bench), so the baseline
+    # must now request it explicitly — the precision is a per-call keyword at
+    # every resize site, which also means monkeypatching resize_hwc's default
+    # (the previous approach) is a no-op.
+    feat32, proc32, fp32p, pp32 = build(jnp.float32, "highest")
 
     @jax.jit
     def full32(fp, pp, fs):
@@ -97,32 +105,29 @@ def main():
     ref_out = np.asarray(full32(fp32p, pp32, feats))
     print(json.dumps(results), flush=True)
 
-    # default-precision resizes (monkeypatch the module-level binding)
-    orig = dptmod.resize_hwc
-    dptmod.resize_hwc = functools.partial(orig, precision=jax.lax.Precision.DEFAULT)
-    try:
-        @jax.jit
-        def full32d(fp, pp, fs):
-            fused = feat32.apply(fp, PredictionHeadLayeredInput(list(fs), TARGET))
-            return proc32.apply(pp, fused, TARGET).value
+    # default-precision resizes — the round-3 production configuration
+    feat32d, proc32d, _, _ = build(jnp.float32, "default")
 
-        results["fp32_dres"] = round(median_dispatch(full32d, (fp32p, pp32, feats)) - tunnel, 2)
-        dres_out = np.asarray(full32d(fp32p, pp32, feats))
-        results["fp32_dres_max_dflow"] = float(np.abs(dres_out - ref_out).max())
+    @jax.jit
+    def full32d(fp, pp, fs):
+        fused = feat32d.apply(fp, PredictionHeadLayeredInput(list(fs), TARGET))
+        return proc32d.apply(pp, fused, TARGET).value
 
-        feat16 = DPTFeature(dtype=jnp.bfloat16)
-        proc16 = DPTRegressionProcessor(output_dim=OUT_DIM, dtype=jnp.bfloat16)
+    results["fp32_dres"] = round(median_dispatch(full32d, (fp32p, pp32, feats)) - tunnel, 2)
+    dres_out = np.asarray(full32d(fp32p, pp32, feats))
+    results["fp32_dres_max_dflow"] = float(np.abs(dres_out - ref_out).max())
 
-        @jax.jit
-        def full16(fp, pp, fs):
-            fused = feat16.apply(fp, PredictionHeadLayeredInput(list(fs), TARGET))
-            return proc16.apply(pp, fused, TARGET).value.astype(jnp.float32)
+    feat16 = DPTFeature(dtype=jnp.bfloat16)
+    proc16 = DPTRegressionProcessor(output_dim=OUT_DIM, dtype=jnp.bfloat16)
 
-        results["bf16"] = round(median_dispatch(full16, (fp32p, pp32, feats)) - tunnel, 2)
-        bf16_out = np.asarray(full16(fp32p, pp32, feats))
-        results["bf16_max_dflow"] = float(np.abs(bf16_out - ref_out).max())
-    finally:
-        dptmod.resize_hwc = orig
+    @jax.jit
+    def full16(fp, pp, fs):
+        fused = feat16.apply(fp, PredictionHeadLayeredInput(list(fs), TARGET))
+        return proc16.apply(pp, fused, TARGET).value.astype(jnp.float32)
+
+    results["bf16"] = round(median_dispatch(full16, (fp32p, pp32, feats)) - tunnel, 2)
+    bf16_out = np.asarray(full16(fp32p, pp32, feats))
+    results["bf16_max_dflow"] = float(np.abs(bf16_out - ref_out).max())
 
     print(json.dumps(results), flush=True)
 

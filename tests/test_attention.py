@@ -124,6 +124,30 @@ def test_flash_attention_bf16_gradients_near_fp32():
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gx), rtol=0.1, atol=0.05, err_msg=name)
 
 
+def test_spmd_wrapper_threads_variant():
+    """The custom_partitioning SPMD wrapper must forward the kernel-variant
+    argument (round-3 review finding: it used to drop it, silently running
+    the default body while reporting the requested name). An unknown variant
+    raises through BOTH paths — proving the argument actually reaches the
+    dispatch — and a valid explicit variant still matches XLA under SPMD."""
+    from ufm_tpu.ops.flash_attention import spmd_attention
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 96, 2, 32), dtype=jnp.float32)
+    k = jax.random.normal(kk, (2, 96, 2, 32), dtype=jnp.float32)
+    v = jax.random.normal(kv, (2, 96, 2, 32), dtype=jnp.float32)
+
+    with pytest.raises(ValueError, match="unknown attention kernel variant"):
+        flash_attention(q, k, v, interpret=True, variant="bogus")
+    with spmd_attention():
+        with pytest.raises(ValueError, match="unknown attention kernel variant"):
+            flash_attention(q, k, v, interpret=True, variant="bogus")
+        got = flash_attention(q, k, v, interpret=True, variant="pipe2")
+    ref = _xla_attention(q, k, v, 32**-0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-3, atol=5e-3)
+
+
 def test_vmem_guard_fallback():
     """An oversized key sequence must take the XLA fallback (never the
     single-pass kernel whose K/V slice would exceed VMEM) and stay exact."""

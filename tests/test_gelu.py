@@ -60,6 +60,23 @@ def test_gradient_close_to_reference():
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=2e-2)
 
 
+def test_gradient_finite_for_every_finite_bf16_input():
+    """Regression for the round-3 review finding: the unselected polynomial
+    branch used to overflow to inf for |x| >= 932 and the where-VJP's 0*inf
+    turned the gradient to NaN — a single such pre-GELU activation would NaN
+    an entire training step. The gradient must be finite (and equal to the
+    0/1 saturation of gelu') over ALL finite bf16 inputs, exhaustively."""
+    xf, finite = _all_finite_bf16()
+    x32 = xf.astype(jnp.float32)
+    g = jax.vmap(jax.grad(lambda v: fast_exact_gelu(v.astype(jnp.bfloat16)).astype(jnp.float32)))(x32)
+    g = np.asarray(g)
+    assert np.isfinite(g[finite]).all(), f"{int((~np.isfinite(g) & finite).sum())} non-finite grads"
+    big = np.asarray(x32) >= 932
+    np.testing.assert_allclose(g[big & finite], 1.0, atol=1e-6)
+    small = np.asarray(x32) <= -932
+    np.testing.assert_allclose(g[small & finite], 0.0, atol=1e-6)
+
+
 @pytest.mark.parametrize("shape", [(3, 7), (2, 5, 9)])
 def test_shapes_preserved(shape):
     x = jnp.ones(shape, jnp.bfloat16)

@@ -49,6 +49,23 @@ def test_vit_encoder_feature_returner():
     assert enc.data_norm_type == "dinov2"
 
 
+def test_vit_duplicate_tap_indices():
+    """A config may spell the same layer twice (e.g. 3 and -1 both naming the
+    last layer of a depth-4 stack after the `t % depth` wrap). The tap-buffer
+    scan must load and return that layer's output at BOTH positions — round 2
+    accepted such checkpoints and the round-3 rewrite must keep doing so."""
+    enc = feature_returner_encoder_factory("dinov2_custom", **{**TINY_VIT, "intermediate_layer_idx": (3, -1)})
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((1, 56, 70, 3)), jnp.float32)
+    params = enc.init(KEY, ViTEncoderInput(image=img))
+    outs = enc.apply(params, ViTEncoderInput(image=img))
+    assert len(outs) == 2
+    np.testing.assert_array_equal(np.asarray(outs[0].features), np.asarray(outs[1].features))
+    # and against the unique spelling: same layer, same values
+    enc1 = feature_returner_encoder_factory("dinov2_custom", **{**TINY_VIT, "intermediate_layer_idx": (3,)})
+    outs1 = enc1.apply(params, ViTEncoderInput(image=img))
+    np.testing.assert_array_equal(np.asarray(outs[0].features), np.asarray(outs1[0].features))
+
+
 def test_vit_pos_embed_interpolation():
     """Grid != pretraining grid must still work (pos embed is interpolated)."""
     enc = feature_returner_encoder_factory("dinov2_custom", **{**TINY_VIT, "pretrain_grid_size": 3})

@@ -35,7 +35,11 @@ import jax
 import jax.numpy as jnp
 
 from ufm_tpu.models.config import UFMArchConfig
-from ufm_tpu.nn.encoders import ViTEncoderInput, feature_returner_encoder_factory
+from ufm_tpu.nn.encoders import (
+    _BENIGN_CONFIG_KEYS,
+    ViTEncoderInput,
+    feature_returner_encoder_factory,
+)
 from ufm_tpu.nn.info_sharing import INFO_SHARING_CLASSES, MultiViewTransformerInput
 from ufm_tpu.nn.prediction_heads import (
     AdaptorMap,
@@ -88,17 +92,10 @@ def interleave(t1: jnp.ndarray, t2: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarr
 
 
 # Bookkeeping / weight-loading keys a UniCeption-style config may carry that
-# genuinely don't affect the built architecture — safe to drop silently.
-# Mirrors the encoder factory's allowlist (nn/encoders/__init__.py).
-_BENIGN_CONFIG_KEYS = {
-    "name",
-    "size",
-    "uses_torch_hub",
-    "torch_hub_force_reload",
-    "pretrained_checkpoint_path",
-    "gradient_checkpointing",
-    "device",
-}
+# genuinely don't affect the built architecture are dropped silently; the
+# allowlist is imported from the encoder factory (single source of truth —
+# a key tolerated by one config path but rejected by the other would make
+# the same config.json load or fail depending on which module saw it).
 
 
 def _filter_kwargs(cls, kwargs: Dict[str, Any]) -> Dict[str, Any]:

@@ -178,16 +178,19 @@ def scan_transformer_blocks(
         return scanned(block, x, None)
 
     taps = tuple(int(t) for t in taps)
-    assert len(set(taps)) == len(taps), f"duplicate tap indices: {taps}"
-    n_taps = len(taps)
+    # Duplicate tap indices are legal (a config may spell the same layer both
+    # as 23 and -1, which callers normalize to the same index) — buffer the
+    # UNIQUE layers, then gather the requested order, repeats included.
+    uniq = tuple(dict.fromkeys(taps))
+    n_uniq = len(uniq)
 
     def body(blk, carry, i):
         h, buf = carry
         y = call_block(blk, h)
-        # slot j when layer i == taps[j], else the scratch slot n_taps —
+        # slot j when layer i == uniq[j], else the scratch slot n_uniq —
         # a scalar select chain plus ONE dynamic buffer write per layer
-        slot = jnp.int32(n_taps)
-        for j, t in enumerate(taps):
+        slot = jnp.int32(n_uniq)
+        for j, t in enumerate(uniq):
             slot = jnp.where(i == t, jnp.int32(j), slot)
         buf = jax.lax.dynamic_update_index_in_dim(buf, y, slot, axis=0)
         return (y, buf), None
@@ -198,6 +201,8 @@ def scan_transformer_blocks(
         split_rngs={"params": True},
         length=depth,
     )
-    buf0 = jnp.zeros((n_taps + 1,) + x.shape, x.dtype)
+    buf0 = jnp.zeros((n_uniq + 1,) + x.shape, x.dtype)
     (final, buf), _ = scanned(block, (x, buf0), jnp.arange(depth))
-    return final, buf[:n_taps]
+    if uniq == taps:
+        return final, buf[:n_uniq]
+    return final, buf[jnp.asarray([uniq.index(t) for t in taps])]

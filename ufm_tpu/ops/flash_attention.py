@@ -275,24 +275,28 @@ def _attn_spec(sharding) -> P:
     return P(spec[0], None, spec[2], None)
 
 
-def _spmd_infer_sharding(scale, block_q, interpret, mesh, arg_shapes, result_shape):
+def _spmd_infer_sharding(scale, block_q, interpret, variant, mesh, arg_shapes, result_shape):
     return NamedSharding(mesh, _attn_spec(arg_shapes[0].sharding))
 
 
-def _spmd_partition(scale, block_q, interpret, mesh, arg_shapes, result_shape):
+def _spmd_partition(scale, block_q, interpret, variant, mesh, arg_shapes, result_shape):
     spec = _attn_spec(arg_shapes[0].sharding)
     arg_shardings = tuple(NamedSharding(mesh, spec) for _ in range(3))
     out_sharding = NamedSharding(mesh, spec)
 
     def lower_fn(q, k, v):
-        return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+        return _flash_attention_impl(
+            q, k, v, scale=scale, block_q=block_q, interpret=interpret, variant=variant
+        )
 
     return mesh, lower_fn, out_sharding, arg_shardings
 
 
-@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
-def _flash_attention_spmd(q, k, v, scale, block_q, interpret):
-    return _flash_attention_impl(q, k, v, scale=scale, block_q=block_q, interpret=interpret)
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5, 6))
+def _flash_attention_spmd(q, k, v, scale, block_q, interpret, variant):
+    return _flash_attention_impl(
+        q, k, v, scale=scale, block_q=block_q, interpret=interpret, variant=variant
+    )
 
 
 _flash_attention_spmd.def_partition(
@@ -307,7 +311,7 @@ _flash_attention_spmd.def_partition(
 
 def _primal(q, k, v, scale, block_q, interpret, use_spmd, variant):
     if use_spmd:
-        return _flash_attention_spmd(q, k, v, scale, block_q, interpret)
+        return _flash_attention_spmd(q, k, v, scale, block_q, interpret, variant)
     return _flash_attention_impl(
         q, k, v, scale=scale, block_q=block_q, interpret=interpret, variant=variant
     )
@@ -404,12 +408,16 @@ def _flash_attention_impl(
         while nsplit > 1 and (block_q // nsplit) % 16:
             nsplit //= 2
         kernel = functools.partial(_attn_kernel_pipe, scale=scale, valid_len=sk, nsplit=nsplit)
-    else:
+    elif variant.startswith("opt"):
         chunks = int(variant[3:]) if len(variant) > 3 else 1
         # chunk boundaries must stay lane-aligned
         while chunks > 1 and (sk_pad // chunks) % _LANE:
             chunks //= 2
         kernel = functools.partial(_attn_kernel_opt, scale=scale, valid_len=sk, kv_chunks=chunks)
+    else:
+        raise ValueError(
+            f"unknown attention kernel variant {variant!r} (expected base, opt[N] or pipe[N])"
+        )
 
     out = pl.pallas_call(
         kernel,

@@ -73,7 +73,16 @@ _SQRT_HALF_BF16 = float(jnp.asarray(0.5, jnp.bfloat16) ** 0.5)
 def fast_erfc_f32(tf: jnp.ndarray) -> jnp.ndarray:
     """fp32 erfc whose bf16 rounding equals ``lax.erfc``'s on every finite
     bf16 input (exhaustive test).  ``tf`` must be fp32."""
-    u = tf * tf
+    # Clamp |tf| before squaring. Values are unaffected: the main branch is
+    # only selected for |tf| <= 2.05, and past |tf| = 32 the tail's
+    # exp2(-u*log2e) is 0 either way (fp32 exp2 underflows at u > ~104). What
+    # the clamp buys is globally finite *gradients*: without it, bf16 inputs
+    # reach |tf| ~ 2.4e38, the u**8 polynomial term overflows to inf in the
+    # unselected branch, and the where-VJP's 0*inf turns the whole gradient
+    # to NaN for every |x| >= 932 (round-3 review finding; a single such
+    # pre-GELU activation would NaN a training step).
+    ta = jnp.minimum(jnp.abs(tf), jnp.float32(32.0))
+    u = ta * ta
     p = jnp.float32(_MAIN[-1])
     for c in _MAIN[-2::-1]:
         p = p * u + jnp.float32(c)

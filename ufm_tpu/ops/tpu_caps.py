@@ -11,26 +11,32 @@ here.
 
 from __future__ import annotations
 
-import functools
-
 __all__ = ["device_kind", "vmem_capacity_bytes", "vmem_budget_bytes"]
 
 _MIB = 1024 * 1024
 
 
-@functools.lru_cache(maxsize=1)
+_cached_kind: str | None = None
+
+
 def device_kind() -> str:
     """Lowercased ``device_kind`` of the default backend's first device
-    (e.g. ``"tpu v5 lite0"``); empty string when no device is reachable."""
+    (e.g. ``"tpu v5 lite0"``); empty string when no device is reachable.
+    Only successful probes are cached — a transiently unreachable backend
+    must not pin the fallback guess for the process lifetime."""
+    global _cached_kind
+    if _cached_kind is not None:
+        return _cached_kind
     try:
         import jax
 
-        return str(jax.devices()[0].device_kind).lower()
+        kind = str(jax.devices()[0].device_kind).lower()
     except Exception:
         return ""
+    _cached_kind = kind
+    return kind
 
 
-@functools.lru_cache(maxsize=1)
 def vmem_capacity_bytes() -> int:
     """Per-core VMEM capacity of the current backend.
 
@@ -40,11 +46,17 @@ def vmem_capacity_bytes() -> int:
     kind = device_kind()
     if "tpu" not in kind:
         return 128 * _MIB
-    if any(tag in kind for tag in ("v5 lite", "v5e", "v5p", "v5litepod", "v6")):
-        return 128 * _MIB
+    # Small-VMEM generations are a CLOSED list: only v2/v3/v4 ever shipped
+    # with less than ~128 MiB. An unrecognized kind (a future generation, or
+    # a spelling these tags miss) must fall through to the large default —
+    # a pessimistic 16 MiB guess would silently disqualify the Pallas
+    # attention/window kernels and regress throughput several-fold with no
+    # error anywhere (round-3 review finding).
     if "v4" in kind:
         return 32 * _MIB
-    return 16 * _MIB
+    if "v2" in kind or "v3" in kind:
+        return 16 * _MIB
+    return 128 * _MIB
 
 
 def vmem_budget_bytes(fraction: float = 0.5) -> int:

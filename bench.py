@@ -241,6 +241,10 @@ def main() -> None:
     if os.path.exists(train_file):
         with open(train_file) as f:
             record["train"] = json.load(f)
+    tiled_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_tiled.json")
+    if os.path.exists(tiled_file):
+        with open(tiled_file) as f:
+            record["tiled_1080p"] = json.load(f)
     print(json.dumps(record))
 
 

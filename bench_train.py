@@ -58,11 +58,16 @@ def main():
     # Remat the transformer stacks by default: the flagship's saved backward
     # residuals otherwise exceed single-chip HBM by ~4 GB at batch 2 even
     # with donated train state (measured 2026-08-17: 19.5G vs 15.75G).
-    remat = os.environ.get("UFM_TRAIN_REMAT", "1") == "1"
+    # "1"/"all" remats both stacks, "encoder" only the 24-layer encoder
+    # (keeps the small info-sharing activations resident), "0" disables
+    remat_env = os.environ.get("UFM_TRAIN_REMAT", "1")
+    remat = remat_env != "0"
     if remat:
         import dataclasses
 
-        cfg = dataclasses.replace(cfg, train_remat=True)
+        cfg = dataclasses.replace(
+            cfg, train_remat="encoder" if remat_env == "encoder" else True
+        )
     net = UFMNet(cfg)
     img = jnp.zeros((B, h, w, 3), jnp.float32)
     params = jax.jit(net.init)(jax.random.PRNGKey(0), img, img)["params"]

@@ -32,14 +32,15 @@ def test_fit_reduces_loss(tiny_net_params):
     assert np.isfinite(float(out["metrics"]["total_loss"]))
 
 
-def test_remat_matches_plain_gradients(tiny_net_params):
-    """train_remat=True must change only memory, not numerics: identical
-    param structure and matching loss gradients (nn/layers.py
-    scan_transformer_blocks remat path)."""
+@pytest.mark.parametrize("mode", [True, "encoder"])
+def test_remat_matches_plain_gradients(tiny_net_params, mode):
+    """train_remat (both-stacks True and the partial "encoder" mode) must
+    change only memory, not numerics: identical param structure and matching
+    loss gradients (nn/layers.py scan_transformer_blocks remat path)."""
     import dataclasses
 
     net, params = tiny_net_params
-    net_r = UFMNet(dataclasses.replace(net.cfg, train_remat=True))
+    net_r = UFMNet(dataclasses.replace(net.cfg, train_remat=mode))
     img = jnp.zeros((2, 42, 56, 3))
     params_r = net_r.init(jax.random.PRNGKey(0), img, img)["params"]
     assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_r)

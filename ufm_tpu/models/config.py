@@ -61,11 +61,16 @@ class UFMArchConfig:
     # Precision policy: backbone compute dtype; heads always fp32 (reference
     # autocast policy, base.py:273 / ufm.py:414)
     compute_dtype: str = "bfloat16"
-    # Training-time memory knob: rematerialize the encoder/info-sharing
-    # transformer-block activations in the backward pass (the flagship's
-    # saved residuals otherwise OOM a single chip's HBM at batch 2). No
-    # effect on forward-only (inference) graphs.
-    train_remat: bool = False
+    # Training-time memory knob: rematerialize transformer-block activations
+    # in the backward pass (the flagship's saved residuals otherwise OOM a
+    # single chip's HBM at batch 2). True/"all" checkpoints both stacks;
+    # "encoder" checkpoints only the 24-layer encoder and keeps the
+    # info-sharing activations resident — less recompute when the encoder
+    # alone frees enough HBM (NOT the single-chip flagship at batch 2:
+    # measured 20.7G vs 15.75G HBM — use full remat there; the partial mode
+    # suits smaller configs or data-parallel meshes with smaller per-chip
+    # batches). No effect on forward-only graphs.
+    train_remat: Union[bool, str] = False
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -148,15 +148,17 @@ class UFMNet(nn.Module):
         assert c.info_sharing_and_head_structure == "dual+single", "Only dual+single is supported"
         assert c.head_type != "linear", "Linear head is not supported"
 
-        remat = {"remat": True} if getattr(c, "train_remat", False) else {}
+        tr = getattr(c, "train_remat", False)
+        remat_enc = {"remat": True} if tr in (True, "all", "encoder") else {}
+        remat_info = {"remat": True} if tr in (True, "all") else {}
         self.encoder = feature_returner_encoder_factory(
-            c.encoder_str, dtype=dt, **{**c.encoder_kwargs, **remat}
+            c.encoder_str, dtype=dt, **{**c.encoder_kwargs, **remat_enc}
         )
         self.info_sharing = INFO_SHARING_CLASSES[c.info_sharing_str][1](
             dtype=dt,
             **{
                 **_filter_kwargs(INFO_SHARING_CLASSES[c.info_sharing_str][1], c.info_sharing_kwargs),
-                **remat,
+                **remat_info,
             },
         )
 

@@ -240,7 +240,13 @@ def main() -> None:
     train_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_train.json")
     if os.path.exists(train_file):
         with open(train_file) as f:
-            record["train"] = json.load(f)
+            train_rec = json.load(f)
+        # bench_train.py writes incrementally (to survive kills) and flips
+        # "complete" at the end — a crashed run must not be folded as current
+        if train_rec.get("complete") is False:
+            train_rec["stale"] = True
+            train_rec["stale_reason"] = "partial record (run crashed); rerun bench_train.py"
+        record["train"] = train_rec
     tiled_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_tiled.json")
     if os.path.exists(tiled_file):
         with open(tiled_file) as f:

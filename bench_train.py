@@ -94,8 +94,9 @@ def main():
     print(f"tunnel constant: {tunnel*1e3:.1f} ms", flush=True)
 
     rec = {
+        "complete": False,  # flipped at the end; bench.py must not fold partial runs
         "batch": B,
-        "remat": remat,
+        "remat": remat_env if remat else False,
         "resolution": "560x420",
         "model": "flagship confidence variant (ViT-L/14 + global-attn + 2 DPT heads)",
         "params_m": round(n_params / 1e6, 1),
@@ -144,6 +145,7 @@ def main():
             "est_tflops_fwd_bwd": round(est_tflops, 1),
             "loss_trajectory": [round(x, 4) for x in losses],
             "loss_decreased": bool(losses[-1] < losses[0]),
+            "complete": True,
         }
     )
     flush()

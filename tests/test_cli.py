@@ -102,3 +102,22 @@ def test_cli_eval_synthetic_pairs(tmp_path, capsys):
     assert saved["aggregate"]["num_pairs"] == 1
     assert np.isfinite(saved["aggregate"]["epe"])
     assert len(saved["per_pair"]) == 1
+
+
+def test_golden_image_main_tiny(tmp_path, capsys):
+    """`python -m ufm_tpu.models.ufm` golden-image check (reference
+    uniflowmatch/models/ufm.py:1241-1313): tiny topology, bundled pair,
+    panel written + quantitative EPE line printed."""
+    import cv2
+
+    from ufm_tpu.models.ufm import _golden_image_main
+
+    out = tmp_path / "ufm_output.png"
+    _golden_image_main(["--tiny", "--output", str(out)])
+
+    printed = capsys.readouterr().out
+    assert "EPE vs analytic ground truth" in printed
+    panel = cv2.imread(str(out))
+    assert panel is not None
+    # 2x3 grid of full-resolution cells (bundled pairs are 540x720)
+    assert panel.shape == (2 * 540, 3 * 720, 3)

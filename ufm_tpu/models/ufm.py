@@ -382,3 +382,81 @@ class UniFlowMatchClassificationRefinement(UniFlowMatch):
             refinement_range=refinement_range,
             **extra_config,
         )
+
+
+def _golden_image_main(argv: Optional[List[str]] = None) -> str:
+    """Golden-image check: ``python -m ufm_tpu.models.ufm``.
+
+    Re-creates the reference's bundled eyeball test (reference
+    uniflowmatch/models/ufm.py:1241-1313; README.md:71-78 instructs running
+    ``python uniflowmatch/models/ufm.py`` and comparing ``ufm_output.png``
+    against the bundled golden panel). Here the bundled example pairs carry
+    analytic ground-truth flow (examples/make_example_pairs.py), so the check
+    is quantitative: the panel's last cell is an EPE heatmap and the mean /
+    p90 EPE are printed — with a real checkpoint these replace the
+    reference's visual-only compare; with the default seeded random init the
+    panel only demonstrates the pipeline end-to-end.
+
+    Writes a 2x3 panel: source / target / flow color (top), covisibility /
+    covisibility-masked warped target / EPE heatmap (bottom).
+    """
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(description=_golden_image_main.__doc__)
+    parser.add_argument("--model", choices=("base", "refine"), default="base")
+    parser.add_argument("--checkpoint", default=None, help="config.json + weights dir (else seeded random init)")
+    parser.add_argument("--pair", default="wide_baseline", help="bundled pair name under examples/image_pairs/")
+    parser.add_argument("--output", default="ufm_output.png")
+    parser.add_argument("--tiny", action="store_true", help="tiny seeded topology (CI smoke; no checkpoint)")
+    args = parser.parse_args(argv)
+
+    import cv2
+
+    from ufm_tpu.models.config import ufm_base_config, ufm_refine_config, ufm_tiny_config
+    from ufm_tpu.utils.viz import flow_to_color, warp_image_with_flow
+
+    cls = UniFlowMatchClassificationRefinement if args.model == "refine" else UniFlowMatchConfidence
+    if args.checkpoint:
+        model = cls.from_pretrained(args.checkpoint)
+    elif args.tiny:
+        model = cls.from_config(ufm_tiny_config(has_classification_head=args.model == "refine"))
+    else:
+        print("No --checkpoint given: using seeded random init (zero-egress environment).")
+        model = cls.from_config(ufm_refine_config() if args.model == "refine" else ufm_base_config())
+
+    pair_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "examples", "image_pairs")
+    src = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{args.pair}_0.png")), cv2.COLOR_BGR2RGB)
+    tgt = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{args.pair}_1.png")), cv2.COLOR_BGR2RGB)
+
+    result = model.predict_correspondences_batched(source_image=src, target_image=tgt)
+    flow = np.asarray(result.flow.flow_output[0]).transpose(1, 2, 0)  # (H, W, 2)
+    covis = np.asarray(result.covisibility.mask[0]) if result.covisibility is not None else np.ones(flow.shape[:2], np.float32)
+
+    gt_path = os.path.join(pair_dir, f"{args.pair}_flow.npy")
+    if os.path.exists(gt_path):
+        gt = np.load(gt_path)
+        epe = np.linalg.norm(flow - gt, axis=-1)
+        print(f"EPE vs analytic ground truth: mean {epe.mean():.3f} px, p90 {np.percentile(epe, 90):.3f} px")
+        epe_vis = np.clip(epe / 8.0, 0.0, 1.0)  # 8 px full scale
+        epe_rgb = np.stack([np.full_like(epe_vis, 1.0), 1.0 - epe_vis, 1.0 - epe_vis], axis=-1)
+        epe_rgb = (epe_rgb * 255).astype(np.uint8)
+    else:
+        epe_rgb = np.zeros_like(src)
+
+    warped = warp_image_with_flow(src, None, tgt, flow).astype(np.float32)
+    alpha = covis[..., None]
+    composite = (alpha * warped + (1.0 - alpha) * 255.0).astype(np.uint8)
+    covis_rgb = np.repeat((covis * 255).astype(np.uint8)[..., None], 3, axis=-1)
+
+    top = np.concatenate([src, tgt, flow_to_color(flow)], axis=1)
+    bottom = np.concatenate([covis_rgb, composite, epe_rgb], axis=1)
+    panel = np.concatenate([top, bottom], axis=0)
+    cv2.imwrite(args.output, cv2.cvtColor(panel, cv2.COLOR_RGB2BGR))
+    print(f"Wrote {args.output} ({panel.shape[1]}x{panel.shape[0]}). "
+          "With a real checkpoint, verify the flow/warp panels are coherent and EPE is small.")
+    return args.output
+
+
+if __name__ == "__main__":
+    _golden_image_main()

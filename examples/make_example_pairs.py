@@ -1,98 +1,34 @@
 """Generate synthetic example image pairs for demos and smoke tests.
 
-The reference bundles five photo pairs (reference examples/image_pairs/,
-listed in gradio_demo.py:163-169); this repo generates synthetic pairs with
-*known ground-truth flow* instead — a textured scene warped by a known
-homography + parallax displacement — which doubles as correctness data for
-the end-to-end pipeline (EPE against analytic flow).
+Thin wrapper around :mod:`ufm_tpu.utils.example_pairs` (kept here so
+`python examples/make_example_pairs.py` works as documented and existing
+imports of ``examples.make_example_pairs`` keep resolving).
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
-import numpy as np
-
-
-def _texture(h: int, w: int, seed: int) -> np.ndarray:
-    """Multi-octave value-noise texture (RGB uint8)."""
-    rng = np.random.default_rng(seed)
-    img = np.zeros((h, w, 3), dtype=np.float64)
-    for octave in range(4):
-        gh, gw = 4 * 2**octave, 5 * 2**octave
-        grid = rng.random((gh + 1, gw + 1, 3))
-        ys = np.linspace(0, gh, h, endpoint=False)
-        xs = np.linspace(0, gw, w, endpoint=False)
-        y0 = ys.astype(int)
-        x0 = xs.astype(int)
-        ty = (ys - y0)[:, None, None]
-        tx = (xs - x0)[None, :, None]
-        a = grid[y0][:, x0]
-        b = grid[y0][:, x0 + 1]
-        c = grid[y0 + 1][:, x0]
-        d = grid[y0 + 1][:, x0 + 1]
-        img += ((a * (1 - tx) + b * tx) * (1 - ty) + (c * (1 - tx) + d * tx) * ty) / 2**octave
-    img -= img.min()
-    img /= img.max()
-    return (img * 255).astype(np.uint8)
-
-
-def synthetic_pair(h: int = 540, w: int = 720, seed: int = 0, max_disp: float = 24.0):
-    """Returns (img0, img1, flow, valid): img1 is img0 backward-warped by a
-    smooth analytic flow field (so flow maps img0 pixels to img1 pixels)."""
-    rng = np.random.default_rng(seed)
-    big = _texture(h + 2 * int(max_disp) + 4, w + 2 * int(max_disp) + 4, seed)
-    pad = int(max_disp) + 2
-
-    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-    # smooth flow: affine + sinusoidal parallax
-    a = rng.uniform(-0.02, 0.02, 4)
-    fx = a[0] * (xs - w / 2) + a[1] * (ys - h / 2) + max_disp * 0.5 * np.sin(2 * np.pi * ys / h)
-    fy = a[2] * (xs - w / 2) + a[3] * (ys - h / 2) + max_disp * 0.5 * np.cos(2 * np.pi * xs / w)
-    fx = np.clip(fx, -max_disp, max_disp)
-    fy = np.clip(fy, -max_disp, max_disp)
-
-    img0 = big[pad : pad + h, pad : pad + w]
-
-    # img1[y, x] = img0_big[y - fy_inv, x - fx_inv]; build img1 by forward
-    # resampling of the big texture at (x + fx, y + fy) so that
-    # img1[round(x + fx)] content comes from img0[x] — approximate with
-    # bilinear sampling of the big image at shifted coords.
-    sy = np.clip(ys + fy + pad, 0, big.shape[0] - 2)
-    sx = np.clip(xs + fx + pad, 0, big.shape[1] - 2)
-    y0 = sy.astype(int)
-    x0 = sx.astype(int)
-    ty = (sy - y0)[..., None]
-    tx = (sx - x0)[..., None]
-    b = big.astype(np.float64)
-    img1 = (
-        b[y0, x0] * (1 - tx) * (1 - ty)
-        + b[y0, x0 + 1] * tx * (1 - ty)
-        + b[y0 + 1, x0] * (1 - tx) * ty
-        + b[y0 + 1, x0 + 1] * tx * ty
-    ).astype(np.uint8)
-
-    # img1 sampled at p+flow(p) means: matching img0 pixel p appears at p in
-    # img1's sampling grid — the flow from img1 to img0's content is -f; we
-    # return the flow field mapping img0 -> img1: for content at img0[p]
-    # (= big[p+pad]), it appears in img1 where p' + f(p') + pad = p + pad.
-    # For smooth small flows, f(p') ≈ f(p), giving flow ≈ -f.
-    flow = np.stack([-fx, -fy], axis=-1).astype(np.float32)
-    valid = np.ones((h, w), dtype=bool)
-    return img0, img1, flow, valid
+try:
+    from ufm_tpu.utils.example_pairs import (  # noqa: F401  (re-exports)
+        PAIR_NAMES,
+        generate_pairs,
+        synthetic_pair,
+    )
+except ModuleNotFoundError:  # `python examples/make_example_pairs.py` from a checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ufm_tpu.utils.example_pairs import (  # noqa: F401
+        PAIR_NAMES,
+        generate_pairs,
+        synthetic_pair,
+    )
 
 
 def main(out_dir: str | None = None) -> None:
-    import cv2
-
     out_dir = out_dir or os.path.join(os.path.dirname(os.path.abspath(__file__)), "image_pairs")
-    os.makedirs(out_dir, exist_ok=True)
-    for i, name in enumerate(["noise_scene", "parallax", "wide_baseline"]):
-        img0, img1, flow, _ = synthetic_pair(seed=i)
-        cv2.imwrite(os.path.join(out_dir, f"{name}_0.png"), cv2.cvtColor(img0, cv2.COLOR_RGB2BGR))
-        cv2.imwrite(os.path.join(out_dir, f"{name}_1.png"), cv2.cvtColor(img1, cv2.COLOR_RGB2BGR))
-        np.save(os.path.join(out_dir, f"{name}_flow.npy"), flow)
-    print(f"wrote 3 synthetic pairs to {out_dir}")
+    generate_pairs(out_dir)
+    print(f"wrote {len(PAIR_NAMES)} synthetic pairs to {out_dir}")
 
 
 if __name__ == "__main__":

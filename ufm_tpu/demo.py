@@ -107,7 +107,12 @@ def _bundled_example_pairs():
     import glob
     import os
 
-    pair_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples", "image_pairs")
+    try:
+        from ufm_tpu.utils.example_pairs import ensure_bundled_pairs
+
+        pair_dir = ensure_bundled_pairs()
+    except Exception:  # demo examples are optional — an unwritable dir just means none
+        return []
     pairs = []
     for img0 in sorted(glob.glob(os.path.join(pair_dir, "*_0.png"))):
         img1 = img0[: -len("_0.png")] + "_1.png"

@@ -425,7 +425,9 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
         print("No --checkpoint given: using seeded random init (zero-egress environment).")
         model = cls.from_config(ufm_refine_config() if args.model == "refine" else ufm_base_config())
 
-    pair_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "examples", "image_pairs")
+    from ufm_tpu.utils.example_pairs import ensure_bundled_pairs
+
+    pair_dir = ensure_bundled_pairs()
     src = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{args.pair}_0.png")), cv2.COLOR_BGR2RGB)
     tgt = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{args.pair}_1.png")), cv2.COLOR_BGR2RGB)
 

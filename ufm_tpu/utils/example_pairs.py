@@ -1,0 +1,130 @@
+"""Synthetic example image pairs with analytic ground-truth flow.
+
+The reference bundles five photo pairs (reference examples/image_pairs/,
+listed in gradio_demo.py:163-169) and its golden-image check reads them
+(reference uniflowmatch/models/ufm.py:1241-1313). This repo cannot ship
+those photos (zero-egress snapshot), so it generates synthetic pairs with
+*known ground-truth flow* instead -- a textured scene warped by a known
+smooth displacement field -- which doubles as correctness data for the
+end-to-end pipeline (EPE against analytic flow).
+
+``ensure_bundled_pairs()`` generates the three named pairs on first use
+(deterministic from fixed seeds), so the bundled-pair consumers (golden
+image check, gradio demo examples, ``ufm eval`` demos) work from a fresh
+checkout without a generation step.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _texture(h: int, w: int, seed: int) -> np.ndarray:
+    """Multi-octave value-noise texture (RGB uint8)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w, 3), dtype=np.float64)
+    for octave in range(4):
+        gh, gw = 4 * 2**octave, 5 * 2**octave
+        grid = rng.random((gh + 1, gw + 1, 3))
+        ys = np.linspace(0, gh, h, endpoint=False)
+        xs = np.linspace(0, gw, w, endpoint=False)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        ty = (ys - y0)[:, None, None]
+        tx = (xs - x0)[None, :, None]
+        a = grid[y0][:, x0]
+        b = grid[y0][:, x0 + 1]
+        c = grid[y0 + 1][:, x0]
+        d = grid[y0 + 1][:, x0 + 1]
+        img += ((a * (1 - tx) + b * tx) * (1 - ty) + (c * (1 - tx) + d * tx) * ty) / 2**octave
+    img -= img.min()
+    img /= img.max()
+    return (img * 255).astype(np.uint8)
+
+
+def synthetic_pair(h: int = 540, w: int = 720, seed: int = 0, max_disp: float = 24.0):
+    """Returns (img0, img1, flow, valid): img1 is img0 backward-warped by a
+    smooth analytic flow field (so flow maps img0 pixels to img1 pixels)."""
+    rng = np.random.default_rng(seed)
+    big = _texture(h + 2 * int(max_disp) + 4, w + 2 * int(max_disp) + 4, seed)
+    pad = int(max_disp) + 2
+
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    # smooth flow: affine + sinusoidal parallax
+    a = rng.uniform(-0.02, 0.02, 4)
+    fx = a[0] * (xs - w / 2) + a[1] * (ys - h / 2) + max_disp * 0.5 * np.sin(2 * np.pi * ys / h)
+    fy = a[2] * (xs - w / 2) + a[3] * (ys - h / 2) + max_disp * 0.5 * np.cos(2 * np.pi * xs / w)
+    fx = np.clip(fx, -max_disp, max_disp)
+    fy = np.clip(fy, -max_disp, max_disp)
+
+    img0 = big[pad : pad + h, pad : pad + w]
+
+    # img1[y, x] = img0_big[y - fy_inv, x - fx_inv]; build img1 by forward
+    # resampling of the big texture at (x + fx, y + fy) so that
+    # img1[round(x + fx)] content comes from img0[x] — approximate with
+    # bilinear sampling of the big image at shifted coords.
+    sy = np.clip(ys + fy + pad, 0, big.shape[0] - 2)
+    sx = np.clip(xs + fx + pad, 0, big.shape[1] - 2)
+    y0 = sy.astype(int)
+    x0 = sx.astype(int)
+    ty = (sy - y0)[..., None]
+    tx = (sx - x0)[..., None]
+    b = big.astype(np.float64)
+    img1 = (
+        b[y0, x0] * (1 - tx) * (1 - ty)
+        + b[y0, x0 + 1] * tx * (1 - ty)
+        + b[y0 + 1, x0] * (1 - tx) * ty
+        + b[y0 + 1, x0 + 1] * tx * ty
+    ).astype(np.uint8)
+
+    # img1 sampled at p+flow(p) means: matching img0 pixel p appears at p in
+    # img1's sampling grid — the flow from img1 to img0's content is -f; we
+    # return the flow field mapping img0 -> img1: for content at img0[p]
+    # (= big[p+pad]), it appears in img1 where p' + f(p') + pad = p + pad.
+    # For smooth small flows, f(p') ≈ f(p), giving flow ≈ -f.
+    flow = np.stack([-fx, -fy], axis=-1).astype(np.float32)
+    valid = np.ones((h, w), dtype=bool)
+    return img0, img1, flow, valid
+
+
+PAIR_NAMES = ("noise_scene", "parallax", "wide_baseline")
+
+
+def generate_pairs(out_dir: str) -> None:
+    """Write the three named synthetic pairs (+ analytic flow) to out_dir."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, name in enumerate(PAIR_NAMES):
+        img0, img1, flow, _ = synthetic_pair(seed=i)
+        cv2.imwrite(os.path.join(out_dir, f"{name}_0.png"), cv2.cvtColor(img0, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(out_dir, f"{name}_1.png"), cv2.cvtColor(img1, cv2.COLOR_RGB2BGR))
+        np.save(os.path.join(out_dir, f"{name}_flow.npy"), flow)
+
+
+def default_pair_dir() -> str:
+    """Repo-checkout examples/image_pairs when present, else a user cache dir
+    (the installed package has no examples/ tree next to it)."""
+    repo_examples = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "examples"
+    )
+    if os.path.isdir(repo_examples):
+        return os.path.join(repo_examples, "image_pairs")
+    cache = os.environ.get("XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(cache, "ufm_tpu", "image_pairs")
+
+
+def ensure_bundled_pairs(out_dir: str | None = None) -> str:
+    """Return a directory containing the bundled pairs, generating any that
+    are missing (deterministic: fixed seeds)."""
+    out_dir = out_dir or default_pair_dir()
+    missing = [
+        n for n in PAIR_NAMES
+        if not (os.path.exists(os.path.join(out_dir, f"{n}_0.png"))
+                and os.path.exists(os.path.join(out_dir, f"{n}_1.png")))
+    ]
+    if missing:
+        generate_pairs(out_dir)
+    return out_dir

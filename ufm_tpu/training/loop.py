@@ -33,13 +33,16 @@ def fit(
     log_every: int = 50,
     log_fn: Callable[[str], None] = print,
     warmup_steps: int = 100,
+    on_metrics: Optional[Callable[[int, Dict[str, float]], None]] = None,
 ) -> Dict[str, Any]:
     """Train ``net`` (a UFMNet) for ``num_steps`` over ``batches``.
 
     Returns {"params": ..., "opt_state": ..., "step": ..., "metrics": last}.
     With ``mesh`` given, parameters/optimizer state are sharded and the batch
     is placed on the data axis. With ``checkpoint_dir``, resumes from the
-    latest saved step.
+    latest saved step. ``on_metrics(step, metrics)`` is called at every
+    ``log_every`` boundary with the step's float metrics (for convergence
+    records / external loggers); it forces a device sync, like logging does.
     """
     optimizer = make_optimizer(
         params, learning_rate=learning_rate, warmup_steps=warmup_steps, total_steps=num_steps
@@ -92,6 +95,8 @@ def fit(
                 vals = {k: float(v) for k, v in metrics.items()}
                 rate = (step + 1 - start_step) / (time.time() - t0)
                 log_fn(f"step {step + 1}/{num_steps} {vals} ({rate:.2f} steps/s)")
+                if on_metrics is not None:
+                    on_metrics(step + 1, vals)
 
             if checkpoint_dir and (step + 1) % checkpoint_every == 0:
                 from ufm_tpu.checkpoint.orbax_io import save_train_state

@@ -121,3 +121,29 @@ def test_golden_image_main_tiny(tmp_path, capsys):
     assert panel is not None
     # 2x3 grid of full-resolution cells (bundled pairs are 540x720)
     assert panel.shape == (2 * 540, 3 * 720, 3)
+
+
+def test_cli_export_subcommand(tmp_path, capsys):
+    """`ufm export`: tiny checkpoint -> .ufmx artifact that reloads and runs."""
+    import jax.numpy as jnp
+
+    from ufm_tpu.cli import build_parser, run_export
+    from ufm_tpu.models import UniFlowMatchConfidence, ufm_tiny_config
+    from ufm_tpu.runtime import load_exported
+
+    ckpt = tmp_path / "ckpt"
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    model.save_pretrained(str(ckpt))
+
+    out = tmp_path / "model.ufmx"
+    args = build_parser().parse_args(
+        ["export", str(out), "--checkpoint", str(ckpt), "--batch", "1"]
+    )
+    run_export(args)
+    assert "Exported UniFlowMatchConfidence" in capsys.readouterr().out
+    assert out.exists()
+
+    exported = load_exported(str(out))
+    w, h = exported.resolution_wh
+    raw = exported(jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)))
+    assert np.isfinite(np.asarray(raw["flow"])).all()

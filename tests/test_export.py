@@ -1,0 +1,129 @@
+"""AOT export roundtrip: jax.export artifacts reproduce the live network.
+
+The artifact is the serving deliverable (runtime/export.py) — these tests
+pin that a reloaded .ufmx program computes exactly what the live flax
+forward computes, for both the single-program and the staged (refine)
+layouts, and that the fixed-shape calling convention is enforced.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ufm_tpu.models import (
+    UniFlowMatchClassificationRefinement,
+    UniFlowMatchConfidence,
+    ufm_tiny_config,
+)
+from ufm_tpu.runtime import export_model, load_exported
+
+
+def _images(model, batch, rng, w=None, h=None):
+    if w is None:
+        w, h = model.inference_resolution[0]
+    i1 = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((batch, h, w, 3)).astype(np.float32))
+    return i1, i2
+
+
+def test_export_roundtrip_confidence(tmp_path, rng):
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    path = str(tmp_path / "base.ufmx")
+    manifest = export_model(model, path, batch=2)
+
+    assert manifest["model_class"] == "UniFlowMatchConfidence"
+    assert manifest["staged"] is False
+    assert manifest["n_param_leaves"] > 0
+
+    exported = load_exported(path)
+    i1, i2 = _images(model, 2, rng)
+    got = exported(i1, i2)
+    want = model.net.apply({"params": model.params}, i1, i2)
+
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-5, err_msg=k
+        )
+
+
+def test_export_roundtrip_refine_staged(tmp_path, rng):
+    cfg = ufm_tiny_config(
+        has_classification_head=True,
+        use_unet_feature=True,
+        refinement_range=3,
+    )
+    model = UniFlowMatchClassificationRefinement.from_config(cfg)
+    assert model._use_staged_inference()
+    path = str(tmp_path / "refine.ufmx")
+    manifest = export_model(model, path, batch=1)
+    assert manifest["staged"] is True
+
+    exported = load_exported(path)
+    i1, i2 = _images(model, 1, rng)
+    got = exported(i1, i2)
+
+    # reference: the production staged composition on the live model
+    back = model.net.apply({"params": model.params}, i1, i2, method="backbone")
+    tail = model.net.apply(
+        {"params": model.params},
+        i1,
+        i2,
+        back["flow"],
+        back["cls_in_0"],
+        back["cls_in_1"],
+        method="refine_tail",
+    )
+    want = {k: v for k, v in back.items() if k not in ("cls_in_0", "cls_in_1")}
+    want.update(tail)
+
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-5, atol=1e-5, err_msg=k
+        )
+
+
+def test_export_shape_enforcement(tmp_path, rng):
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    path = str(tmp_path / "b1.ufmx")
+    export_model(model, path, batch=1)
+    exported = load_exported(path)
+    i1, i2 = _images(model, 2, rng)  # wrong batch
+    with pytest.raises(ValueError, match="fixed-shape"):
+        exported(i1, i2)
+
+
+def test_export_swappable_params(tmp_path, rng):
+    """Params are call args, not baked constants: swapping params.npz serves
+    different weights through the same compiled program."""
+    import io
+    import json
+    import zipfile
+
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    path = str(tmp_path / "m.ufmx")
+    export_model(model, path, batch=1)
+
+    model2 = UniFlowMatchConfidence.from_config(ufm_tiny_config(), seed=1)
+    leaves2, _ = jax.tree_util.tree_flatten(model2.params)
+
+    path2 = str(tmp_path / "m2.ufmx")
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(path2, "w") as zout:
+        for name in zin.namelist():
+            if name == "params.npz":
+                buf = io.BytesIO()
+                np.savez(buf, **{f"p{i:06d}": np.asarray(l) for i, l in enumerate(leaves2)})
+                zout.writestr(name, buf.getvalue())
+            else:
+                zout.writestr(name, zin.read(name))
+
+    exported = load_exported(path2)
+    i1, i2 = _images(model, 1, rng)
+    got = exported(i1, i2)
+    want = model2.net.apply({"params": model2.params}, i1, i2)
+    np.testing.assert_allclose(
+        np.asarray(got["flow"]), np.asarray(want["flow"]), rtol=1e-5, atol=1e-5
+    )

@@ -59,6 +59,19 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--tiled", action="store_true", help="Coarse-to-fine tiled high-res inference")
     ev.add_argument("--output", "-o", help="Write aggregate + per-pair metrics JSON here")
 
+    exp = sub.add_parser(
+        "export", help="Export a compiled AOT serving artifact (.ufmx, jax.export/StableHLO)"
+    )
+    exp.add_argument("output", help="Artifact path (suggested suffix: .ufmx)")
+    exp.add_argument("--model", choices=sorted(HUB_REPOS), default="base")
+    exp.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
+    exp.add_argument("--batch", type=int, default=1, help="Fixed batch size of the exported program")
+    exp.add_argument(
+        "--random-init",
+        action="store_true",
+        help="Export randomly initialized weights (artifact smoke test; zero-egress environments)",
+    )
+
     sub.add_parser("test", help="Test installation")
     return parser
 
@@ -70,6 +83,7 @@ def main() -> None:
         "demo": launch_demo,
         "infer": run_inference,
         "eval": run_eval,
+        "export": run_export,
         "test": lambda _: test_installation(),
     }.get(args.command)
     if handler is None:
@@ -171,6 +185,26 @@ def run_eval(args) -> None:
     print(f"pairs: {int(agg.get('num_pairs', 0))}")
     if args.output:
         print(f"Wrote metrics to {args.output}")
+
+
+def run_export(args) -> None:
+    try:
+        model = _load_model(args.model, args.checkpoint, args.random_init)
+    except Exception as e:
+        _fail(f"Error loading model: {e}")
+    from ufm_tpu.runtime import export_model
+
+    try:
+        manifest = export_model(model, args.output, batch=args.batch)
+    except Exception as e:
+        _fail(f"Error exporting model: {e}")
+    size_mb = Path(args.output).stat().st_size / 1e6
+    programs = "backbone+tail (staged)" if manifest["staged"] else "forward"
+    print(
+        f"Exported {manifest['model_class']} ({programs}, batch {manifest['batch']}, "
+        f"{manifest['resolution_wh'][0]}x{manifest['resolution_wh'][1]}, "
+        f"platforms {','.join(manifest['platforms'])}) -> {args.output} ({size_mb:.1f} MB)"
+    )
 
 
 def launch_demo(args) -> None:

@@ -1,0 +1,211 @@
+"""AOT export/import of compiled UFM programs (``jax.export`` / StableHLO).
+
+The reference has no deployment-artifact story: every serving process
+re-instantiates the full torch module tree from HF Hub at startup
+(reference gradio_demo.py:29-56, cli.py:110-112). On TPU the natural
+deployable unit is the *compiled program*: ``jax.export`` serializes the
+lowered StableHLO together with its calling convention, so a serving host
+can run the network without flax, the model zoo, or checkpoint conversion —
+just JAX and this one file.
+
+Artifact layout — a single zip, suffix ``.ufmx``:
+
+    manifest.json    model class, arch config, resolution, batch, versions
+    forward.shlo     exported network forward (single-program variants)
+    backbone.shlo    staged programs (refine variant: backbone + tail,
+    tail.shlo        the production two-dispatch path — models/ufm.py)
+    params.npz       parameter leaves (tree-flatten order, fp32)
+
+Parameters are call *arguments*, not baked constants: the StableHLO stays
+small (~MBs for the flagship instead of ~1.7 GB), the same artifact serves
+fine-tuned weights by swapping ``params.npz``, and XLA still constant-folds
+nothing it shouldn't.
+
+Platform notes: by default the artifact targets the platform that exports it
+(``platforms=None``). A multi-platform artifact (``platforms=("tpu","cpu")``)
+requires every traced op to lower on all targets — the Pallas TPU kernels do
+not lower on CPU, so multi-platform export forces the XLA kernel paths
+(``UFM_TPU_ATTENTION=xla`` / ``UFM_REFINE_IMPL=xla``). TPU artifacts
+containing Mosaic kernels embed ``tpu_custom_call`` custom calls; those are
+on JAX's stable allowlist, so no safety-check overrides are needed.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["export_model", "load_exported", "ExportedUFM", "ARTIFACT_SUFFIX"]
+
+ARTIFACT_SUFFIX = ".ufmx"
+_ARTIFACT_VERSION = 1
+
+
+def _leaf_key(i: int) -> str:
+    return f"p{i:06d}"
+
+
+def export_model(
+    model,
+    path: str,
+    batch: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Serialize ``model``'s network forward to an ``.ufmx`` artifact.
+
+    The exported program(s) take ``(param_leaves, img1, img2)`` with images
+    of shape ``(batch, H, W, 3)`` float32 at the model's native resolution,
+    already normalized (the host-side predict pipeline's normalize/resize/
+    unmap stages stay host-side — they are shape-polymorphic numpy work,
+    not device compute). Refine-variant models export the staged
+    backbone+tail pair, matching the production inference path.
+
+    Returns the manifest dict.
+    """
+    import jax
+    import jax.export as jex
+    import jax.numpy as jnp
+
+    from ufm_tpu.version import __version__
+
+    if model.params is None:
+        model.init_params()
+    w, h = model.inference_resolution[0]
+    leaves, treedef = jax.tree_util.tree_flatten(model.params)
+    leaf_specs = tuple(jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves)
+    img_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+    plats = list(platforms) if platforms is not None else None
+
+    net = model.net
+    staged = bool(model._use_staged_inference())
+
+    def _export(fn, *specs) -> bytes:
+        exp = jex.export(jax.jit(fn), platforms=plats)(*specs)
+        return exp.serialize()
+
+    programs: Dict[str, bytes] = {}
+    if staged:
+
+        def backbone(lvs, i1, i2):
+            params = jax.tree_util.tree_unflatten(treedef, lvs)
+            return net.apply({"params": params}, i1, i2, method="backbone")
+
+        def tail(lvs, i1, i2, flow, c0, c1):
+            params = jax.tree_util.tree_unflatten(treedef, lvs)
+            return net.apply({"params": params}, i1, i2, flow, c0, c1, method="refine_tail")
+
+        back_out = jax.eval_shape(backbone, leaf_specs, img_spec, img_spec)
+        tail_specs = tuple(
+            jax.ShapeDtypeStruct(back_out[k].shape, back_out[k].dtype)
+            for k in ("flow", "cls_in_0", "cls_in_1")
+        )
+        programs["backbone.shlo"] = _export(backbone, leaf_specs, img_spec, img_spec)
+        programs["tail.shlo"] = _export(tail, leaf_specs, img_spec, img_spec, *tail_specs)
+    else:
+
+        def forward(lvs, i1, i2):
+            params = jax.tree_util.tree_unflatten(treedef, lvs)
+            return net.apply({"params": params}, i1, i2)
+
+        programs["forward.shlo"] = _export(forward, leaf_specs, img_spec, img_spec)
+
+    manifest = {
+        "artifact_version": _ARTIFACT_VERSION,
+        "model_class": type(model).__name__,
+        "config": model.config.to_dict(),
+        "staged": staged,
+        "batch": batch,
+        "resolution_wh": [w, h],
+        "data_norm_type": model.data_norm_type,
+        "n_param_leaves": len(leaves),
+        "param_bytes": int(sum(l.size * l.dtype.itemsize for l in leaves)),
+        "platforms": plats or [jax.default_backend()],
+        "jax_version": jax.__version__,
+        "ufm_tpu_version": __version__,
+    }
+
+    buf = io.BytesIO()
+    np.savez(buf, **{_leaf_key(i): np.asarray(l) for i, l in enumerate(leaves)})
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED, compresslevel=1) as z:
+        z.writestr("manifest.json", json.dumps(manifest, indent=1))
+        for name, data in programs.items():
+            z.writestr(name, data)
+        z.writestr("params.npz", buf.getvalue())
+    return manifest
+
+
+class ExportedUFM:
+    """A loaded ``.ufmx`` artifact: callable raw network forward.
+
+    ``__call__(img1, img2)`` takes normalized float32 ``(batch, H, W, 3)``
+    images at the artifact's fixed shape and returns the network's raw
+    output dict (``flow``, ``covis_mask``, … at the model grid) — the same
+    contract as ``UFMNet.apply`` (models/network.py). Staged artifacts run
+    backbone then tail, merging outputs exactly like the production path
+    (models/ufm.py::_jitted_apply).
+    """
+
+    def __init__(self, manifest: Dict[str, Any], programs: Dict[str, Any], leaves: Tuple[Any, ...]):
+        import jax
+
+        self.manifest = manifest
+        self._leaves = tuple(jax.device_put(l) for l in leaves)
+
+        if manifest["staged"]:
+            back, tail = programs["backbone.shlo"], programs["tail.shlo"]
+            back_call = jax.jit(lambda lvs, a, b: back.call(lvs, a, b))
+            tail_call = jax.jit(lambda lvs, a, b, f, c0, c1: tail.call(lvs, a, b, f, c0, c1))
+
+            def run(lvs, i1, i2):
+                raw = back_call(lvs, i1, i2)
+                t = tail_call(lvs, i1, i2, raw["flow"], raw["cls_in_0"], raw["cls_in_1"])
+                out = {k: v for k, v in raw.items() if k not in ("cls_in_0", "cls_in_1")}
+                out.update(t)
+                return out
+
+            self._run = run
+        else:
+            fwd = programs["forward.shlo"]
+            self._run = jax.jit(lambda lvs, a, b: fwd.call(lvs, a, b))
+
+    @property
+    def batch(self) -> int:
+        return int(self.manifest["batch"])
+
+    @property
+    def resolution_wh(self) -> Tuple[int, int]:
+        w, h = self.manifest["resolution_wh"]
+        return int(w), int(h)
+
+    def __call__(self, img1, img2) -> Dict[str, Any]:
+        w, h = self.resolution_wh
+        expect = (self.batch, h, w, 3)
+        if tuple(img1.shape) != expect or tuple(img2.shape) != expect:
+            raise ValueError(
+                f"exported program is fixed-shape: expected images {expect}, "
+                f"got {tuple(img1.shape)} / {tuple(img2.shape)}"
+            )
+        return self._run(self._leaves, img1, img2)
+
+
+def load_exported(path: str) -> ExportedUFM:
+    """Load an ``.ufmx`` artifact written by :func:`export_model`."""
+    import jax.export as jex
+
+    with zipfile.ZipFile(path) as z:
+        manifest = json.loads(z.read("manifest.json"))
+        if manifest.get("artifact_version") != _ARTIFACT_VERSION:
+            raise ValueError(
+                f"unsupported artifact version {manifest.get('artifact_version')!r} "
+                f"(this build reads version {_ARTIFACT_VERSION})"
+            )
+        names = ("backbone.shlo", "tail.shlo") if manifest["staged"] else ("forward.shlo",)
+        programs = {n: jex.deserialize(z.read(n)) for n in names}
+        with np.load(io.BytesIO(z.read("params.npz"))) as npz:
+            leaves = tuple(npz[_leaf_key(i)] for i in range(manifest["n_param_leaves"]))
+    return ExportedUFM(manifest, programs, leaves)

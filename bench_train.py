@@ -66,7 +66,16 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, train_remat="encoder" if remat_env == "encoder" else True
+            cfg,
+            train_remat="encoder" if remat_env == "encoder" else True,
+            # Default: save matmul outputs, recompute only elementwise work.
+            # Measured B/A/B on the v5e flagship at b2: 359.1/363.9 ms vs
+            # 385.3 full-remat (~6.5% faster), fits HBM with donation.
+            # UFM_TRAIN_REMAT_POLICY= (empty) restores full remat.
+            train_remat_policy=os.environ.get(
+                "UFM_TRAIN_REMAT_POLICY", "dots_with_no_batch_dims_saveable"
+            )
+            or None,
         )
     net = UFMNet(cfg)
     img = jnp.zeros((B, h, w, 3), jnp.float32)
@@ -97,6 +106,7 @@ def main():
         "complete": False,  # flipped at the end; bench.py must not fold partial runs
         "batch": B,
         "remat": remat_env if remat else False,
+        "remat_policy": os.environ.get("UFM_TRAIN_REMAT_POLICY") or None,
         "resolution": "560x420",
         "model": "flagship confidence variant (ViT-L/14 + global-attn + 2 DPT heads)",
         "params_m": round(n_params / 1e6, 1),

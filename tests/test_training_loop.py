@@ -76,3 +76,40 @@ def test_fit_checkpoint_resume(tmp_path, tiny_net_params):
                log_fn=logs.append)
     assert any("resumed from step 4" in l for l in logs)
     assert out2["step"] == 6
+
+
+def test_remat_policy_matches_plain_gradients(tiny_net_params):
+    """train_remat_policy (jax.checkpoint_policies member) must change only
+    the memory/recompute trade, not numerics — and an unknown policy name
+    must fail loudly (nn/layers.py::resolve_remat_policy)."""
+    import dataclasses
+
+    net, params = tiny_net_params
+    net_p = UFMNet(
+        dataclasses.replace(
+            net.cfg, train_remat=True, train_remat_policy="dots_with_no_batch_dims_saveable"
+        )
+    )
+    img = jnp.zeros((2, 42, 56, 3))
+    params_p = net_p.init(jax.random.PRNGKey(0), img, img)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_p)
+
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(2, 42, 56, seed=3).items()}
+
+    def grads(n, p):
+        def loss_fn(pp):
+            out = n.apply({"params": pp}, batch["img1"], batch["img2"])
+            return jnp.mean((out["flow"] - batch["gt_flow"]) ** 2)
+
+        return jax.grad(loss_fn)(p)
+
+    g0 = grads(net, params)
+    g1 = grads(net_p, params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+    bad = UFMNet(dataclasses.replace(net.cfg, train_remat=True, train_remat_policy="bogus"))
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        jax.grad(
+            lambda pp: jnp.mean(bad.apply({"params": pp}, img, img)["flow"] ** 2)
+        )(params)

@@ -10,7 +10,7 @@ ufm.py:120 + SURVEY.md §3.5).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 __all__ = ["UFMArchConfig", "ufm_base_config", "ufm_refine_config", "ufm_tiny_config"]
 
@@ -71,6 +71,13 @@ class UFMArchConfig:
     # suits smaller configs or data-parallel meshes with smaller per-chip
     # batches). No effect on forward-only graphs.
     train_remat: Union[bool, str] = False
+    # Optional jax.checkpoint_policies member applied with remat (e.g.
+    # "dots_with_no_batch_dims_saveable" saves projection/MLP matmul outputs
+    # and recomputes only the cheap elementwise work). None = full remat.
+    # Measured on the single-chip v5e flagship at batch 2 (B/A/B,
+    # BENCH_NOTES.md round 3): dots_with_no_batch_dims_saveable fits HBM
+    # with donation and is ~6.5% faster than full remat (359/364 vs 385 ms).
+    train_remat_policy: Optional[str] = None
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -149,8 +149,9 @@ class UFMNet(nn.Module):
         assert c.head_type != "linear", "Linear head is not supported"
 
         tr = getattr(c, "train_remat", False)
-        remat_enc = {"remat": True} if tr in (True, "all", "encoder") else {}
-        remat_info = {"remat": True} if tr in (True, "all") else {}
+        policy = {"remat_policy": p} if (p := getattr(c, "train_remat_policy", None)) else {}
+        remat_enc = {"remat": True, **policy} if tr in (True, "all", "encoder") else {}
+        remat_info = {"remat": True, **policy} if tr in (True, "all") else {}
         self.encoder = feature_returner_encoder_factory(
             c.encoder_str, dtype=dt, **{**c.encoder_kwargs, **remat_enc}
         )

@@ -80,8 +80,10 @@ class ViTEncoder(nn.Module):
     data_norm_type: str = "dinov2"
     mlp_act: str = "gelu_exact"
     # Rematerialize block activations in the backward pass (training-time
-    # memory knob; no effect on forward-only graphs)
+    # memory knob; no effect on forward-only graphs). ``remat_policy`` names
+    # a ``jax.checkpoint_policies`` member (nn/layers.py::resolve_remat_policy)
     remat: bool = False
+    remat_policy: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -136,6 +138,7 @@ class ViTEncoder(nn.Module):
             self.depth,
             taps=taps,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         outputs = [tap_outs[j] for j in range(len(taps))]
 

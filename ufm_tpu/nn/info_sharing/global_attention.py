@@ -82,8 +82,10 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
     use_pos_embed: bool = True
     mlp_act: str = "gelu_exact"
     # Rematerialize block activations in the backward pass (training-time
-    # memory knob; no effect on forward-only graphs)
+    # memory knob; no effect on forward-only graphs). ``remat_policy`` names
+    # a ``jax.checkpoint_policies`` member (nn/layers.py::resolve_remat_policy)
     remat: bool = False
+    remat_policy: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,6 +134,7 @@ class MultiViewGlobalAttentionTransformer(nn.Module):
             self.depth,
             taps=taps,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         intermediates = [
             split_views(norm(tap_outs[j]) if self.norm_intermediate else tap_outs[j])

@@ -119,8 +119,36 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Map a policy name to ``jax.checkpoint_policies.<name>``.
+
+    ``None``/"" means full remat (save only layer inputs). Any attribute of
+    ``jax.checkpoint_policies`` is accepted, e.g.
+    ``dots_with_no_batch_dims_saveable`` (save projection/MLP matmul outputs,
+    recompute the cheap elementwise work — less backward recompute where HBM
+    allows it; the (B,H,S,S) attention score dots have batch dims and are
+    never saved).
+    """
+    if not name:
+        return None
+    import jax
+
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None or name.startswith("_"):
+        import jax
+
+        valid = sorted(p for p in dir(jax.checkpoint_policies) if not p.startswith("_"))
+        raise ValueError(f"unknown remat policy {name!r}; valid: {valid}")
+    return policy
+
+
 def scan_transformer_blocks(
-    block: TransformerBlock, x, depth: int, taps: Optional[tuple] = None, remat: bool = False
+    block: TransformerBlock,
+    x,
+    depth: int,
+    taps: Optional[tuple] = None,
+    remat: bool = False,
+    remat_policy: Optional[str] = None,
 ):
     """Run ``depth`` transformer layers as ONE ``lax.scan`` over stacked
     parameters.
@@ -161,7 +189,9 @@ def scan_transformer_blocks(
         return blk(h)
 
     if remat:
-        call_block = nn.remat(call_block, prevent_cse=False)
+        call_block = nn.remat(
+            call_block, prevent_cse=False, policy=resolve_remat_policy(remat_policy)
+        )
 
     if taps is None:
 

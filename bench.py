@@ -264,6 +264,20 @@ def main() -> None:
     if os.path.exists(tiled_file):
         with open(tiled_file) as f:
             record["tiled_1080p"] = json.load(f)
+    serving_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_serving.json")
+    if os.path.exists(serving_file):
+        with open(serving_file) as f:
+            serving = json.load(f)
+        # the portable number is the device-staged sustained rate; the
+        # tunnel-inclusive rows vary by multiples between measurement
+        # windows (BENCH_NOTES.md round 3) and stay in the full record
+        record["serving"] = {
+            "pairs_per_sec_sustained_device_staged": serving.get("stream_device", {}).get(
+                "pairs_per_sec_sustained"
+            ),
+            "git_rev": serving.get("git_rev"),
+            "measured_at": serving.get("measured_at"),
+        }
     print(json.dumps(record))
 
 

@@ -33,10 +33,16 @@ def refine_config_hash(cfg) -> str:
     """Stable hash of the measured architecture config. bench.py recomputes
     this against the CURRENT flagship refine config and marks a cached
     bench_refine.json stale on mismatch — a number measured on an older
-    kernel/config must not be republished as current."""
+    kernel/config must not be republished as current.
+
+    Training-only knobs (train_*) are excluded: they do not enter the
+    inference graph being measured, so adding or flipping one must not
+    invalidate a cached inference record (it did once: the round-3
+    train_remat_policy field flipped the hash of an unchanged forward)."""
     import hashlib
 
-    blob = json.dumps(cfg.to_dict(), sort_keys=True, default=str).encode()
+    d = {k: v for k, v in cfg.to_dict().items() if not k.startswith("train_")}
+    blob = json.dumps(d, sort_keys=True, default=str).encode()
     return hashlib.sha1(blob).hexdigest()[:16]
 
 

@@ -142,21 +142,37 @@ def main() -> None:
     # apart and report the fastest block's median — the standard
     # min-over-repeats estimator of the machine's true rate under additive
     # noise — with every block median recorded for transparency.
-    block_onchip_ms, block_tunnel_ms = [], []
-    for b in range(3):
-        if b:
-            time.sleep(2.0)
-        dts, tl = [], []
-        for _ in range(7):
-            t0 = time.perf_counter()
-            sync(full(params, img1, img2))
-            t1 = time.perf_counter()
-            sync(trivial(img1[:1, :2, :2, 0]))
-            t2 = time.perf_counter()
-            dts.append(t1 - t0)
-            tl.append(t2 - t1)
-        block_tunnel_ms.append(float(np.median(tl) * 1e3))
-        block_onchip_ms.append(float(np.median(dts) * 1e3) - block_tunnel_ms[-1])
+    def measure_blocks():
+        block_onchip_ms, block_tunnel_ms = [], []
+        for b in range(3):
+            if b:
+                time.sleep(2.0)
+            dts, tl = [], []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                sync(full(params, img1, img2))
+                t1 = time.perf_counter()
+                sync(trivial(img1[:1, :2, :2, 0]))
+                t2 = time.perf_counter()
+                dts.append(t1 - t0)
+                tl.append(t2 - t1)
+            block_tunnel_ms.append(float(np.median(tl) * 1e3))
+            block_onchip_ms.append(float(np.median(dts) * 1e3) - block_tunnel_ms[-1])
+        return block_onchip_ms, block_tunnel_ms
+
+    # Catastrophic device slow-state guard: measured 2026-08-18, the chip ran
+    # ~25x slow for minutes (2996 ms/b4 on BOTH methodologies, tunnel normal,
+    # calibration matmul back at ~187 TFLOPS right after) — far beyond the
+    # ±25% episodes. If the rate is implausible for this architecture on any
+    # working TPU, wait the episode out and re-measure (twice, 90 s apart),
+    # and record the retries so the round record is interpretable.
+    min_sane = float(os.environ.get("UFM_BENCH_MIN_SANE_RATE", "8"))  # pairs/s
+    slow_retries = 0
+    block_onchip_ms, block_tunnel_ms = measure_blocks()
+    while batch / (min(block_onchip_ms) / 1e3) < min_sane and slow_retries < 2:
+        slow_retries += 1
+        time.sleep(90.0)
+        block_onchip_ms, block_tunnel_ms = measure_blocks()
     best = int(np.argmin(block_onchip_ms))
     tunnel_ms = block_tunnel_ms[best]
     onchip_ms = block_onchip_ms[best]
@@ -227,6 +243,8 @@ def main() -> None:
         "tunnel_ms": round(tunnel_ms, 1),
         "ms_per_batch_onchip": round(onchip_ms, 1),
         "ms_per_batch_onchip_blocks": [round(x, 1) for x in block_onchip_ms],
+        "slow_episode_retries": slow_retries,
+        "slow_device_suspected": bool(pairs_per_sec < min_sane),
         "pairs_per_sec_scanned": round(pairs_per_sec_scanned, 3),
         "device": str(jax.devices()[0]),
         "baseline_pairs_per_sec_torch_cpu": baseline_info.get("torch_cpu_pairs_per_sec"),

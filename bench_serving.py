@@ -176,6 +176,84 @@ def bench_stream_device():
     print(json.dumps(rec["stream_device"]), flush=True)
 
 
+def bench_stream_device_refine():
+    """Refine-variant sustained serving rate with device-resident inputs.
+
+    The staged two-dispatch production path (UFMNet.backbone +
+    UFMNet.refine_tail, intermediates device-resident — the same programs
+    models/base.py dispatches), fed from a pre-staged input ring and synced
+    by a single scalar fetch per batch: the portable refine serving figure
+    (VERDICT r3 #3 — the tunnel-inclusive refine_e2e rows vary by multiples
+    between measurement windows and are not portable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import UFMNet, ufm_refine_config
+
+    batch = int(os.environ.get("UFM_BENCH_BATCH", "4"))
+    n_batches = int(os.environ.get("UFM_BENCH_ITERS", "24"))
+    ring = 4
+    h, w = 420, 560
+
+    cfg = ufm_refine_config()
+    net = UFMNet(cfg)
+    img = jnp.zeros((batch, h, w, 3), jnp.float32)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), img, img)["params"]
+
+    # params as ARGUMENTS (closing over the pytree balloons the remote
+    # compile request — bench_refine_modes.py note)
+    @jax.jit
+    def bb(p, s, t):
+        out = net.apply({"params": p}, s, t, method="backbone")
+        return out["flow"], out["cls_in_0"], out["cls_in_1"]
+
+    @jax.jit
+    def tl(p, s, t, fl, c0, c1):
+        out = net.apply({"params": p}, s, t, fl, c0, c1, method="refine_tail")
+        return {"flow": out["flow"]}
+
+    rng = np.random.default_rng(0)
+    src_d = [jax.device_put(rng.standard_normal((batch, h, w, 3)).astype(np.float32)) for _ in range(ring)]
+    tgt_d = [jax.device_put(rng.standard_normal((batch, h, w, 3)).astype(np.float32)) for _ in range(ring)]
+
+    def sync(out):
+        return float(jax.device_get(out["flow"][0, 0, 0, 0]))
+
+    def staged(s, t):
+        fl, c0, c1 = bb(params, s, t)
+        return tl(params, s, t, fl, c0, c1)
+
+    sync(staged(src_d[0], tgt_d[0]))  # compile both programs + fetch
+
+    t0 = time.perf_counter()
+    prev = None
+    for i in range(n_batches):
+        out = staged(src_d[i % ring], tgt_d[i % ring])
+        if prev is not None:
+            sync(prev)  # one-deep pipeline across the two-dispatch boundary
+        prev = out
+    sync(prev)
+    dt = time.perf_counter() - t0
+    rate = n_batches * batch / dt
+
+    from bench_refine_modes import refine_config_hash
+
+    rec = _load_rec()
+    rec["stream_device_refine"] = {
+        "batch": batch,
+        "batches": n_batches,
+        "pairs_per_sec_sustained": round(rate, 2),
+        "config_hash": refine_config_hash(cfg),
+        "note": (
+            "staged backbone+refine_tail, device-resident input ring + "
+            "device-resident intermediates, scalar-slice sync"
+        ),
+        "device": str(jax.devices()[0]),
+    }
+    _save_rec(rec)
+    print(json.dumps(rec["stream_device_refine"]), flush=True)
+
+
 def bench_refine_e2e():
     import jax
 
@@ -221,6 +299,8 @@ def main():
         bench_stream()
     if which in ("stream_device", "all"):
         bench_stream_device()
+    if which in ("stream_device_refine", "all"):
+        bench_stream_device_refine()
     if which in ("refine_e2e", "all"):
         bench_refine_e2e()
 

@@ -106,7 +106,9 @@ def main():
         "complete": False,  # flipped at the end; bench.py must not fold partial runs
         "batch": B,
         "remat": remat_env if remat else False,
-        "remat_policy": os.environ.get("UFM_TRAIN_REMAT_POLICY") or None,
+        # record the policy actually applied to the config, not the raw env
+        # var (which defaults differently and is ignored when remat is off)
+        "remat_policy": cfg.train_remat_policy if remat else None,
         "resolution": "560x420",
         "model": "flagship confidence variant (ViT-L/14 + global-attn + 2 DPT heads)",
         "params_m": round(n_params / 1e6, 1),

@@ -123,6 +123,29 @@ def test_golden_image_main_tiny(tmp_path, capsys):
     assert panel.shape == (2 * 540, 3 * 720, 3)
 
 
+def test_golden_image_main_real_reference_pair(tmp_path, capsys):
+    """The golden check runs on the reference's real fire_academy photos
+    (the exact pair of the reference's own golden test, README.md:71-78);
+    without GT the quantitative line is forward-backward cycle consistency."""
+    import cv2
+
+    from ufm_tpu.models.ufm import _golden_image_main
+    from ufm_tpu.utils.example_pairs import reference_pair_dir
+
+    if reference_pair_dir() is None:
+        pytest.skip("reference snapshot not mounted")
+
+    out = tmp_path / "ufm_output.png"
+    _golden_image_main(["--tiny", "--pair", "fire_academy", "--output", str(out)])
+
+    printed = capsys.readouterr().out
+    assert "Cycle consistency" in printed
+    panel = cv2.imread(str(out))
+    assert panel is not None
+    # fire_academy is 580x1080 per view; the panel is in the source frame
+    assert panel.shape == (2 * 580, 3 * 1080, 3)
+
+
 def test_cli_export_subcommand(tmp_path, capsys):
     """`ufm export`: tiny checkpoint -> .ufmx artifact that reloads and runs."""
     import jax.numpy as jnp

@@ -72,3 +72,82 @@ def test_evaluate_with_oracle_model(tmp_path, rng):
     assert agg["num_pairs"] == 1
     assert agg["epe"] < 1e-5
     assert agg["acc_1px"] == 1.0
+
+
+def test_cycle_consistency_metrics():
+    """A constant flow whose backward pass is its exact negation closes the
+    cycle to 0; an inconsistent backward flow scores its full residual."""
+    from ufm_tpu.eval import cycle_consistency_metrics
+
+    fwd = np.full((12, 16, 2), 2.0, dtype=np.float32)
+    bwd = np.full((12, 16, 2), -2.0, dtype=np.float32)
+    m = cycle_consistency_metrics(fwd, bwd)
+    assert m["cycle_epe"] < 1e-6
+    assert m["cycle_acc_1px"] == 1.0
+    # only in-bounds forward targets are scored: x+2 <= 15, y+2 <= 11
+    assert m["cycle_coverage"] == pytest.approx((14 / 16) * (10 / 12))
+
+    bad = bwd + np.asarray([3.0, 0.0])
+    m_bad = cycle_consistency_metrics(fwd, bad)
+    assert m_bad["cycle_epe"] == pytest.approx(3.0)
+
+    # covisibility gating restricts scoring to the claimed-covisible region
+    covis = np.zeros((12, 16), dtype=np.float32)
+    covis[:, :8] = 1.0
+    m_cov = cycle_consistency_metrics(fwd, bad, covis)
+    assert m_cov["cycle_coverage"] == pytest.approx(8 * 10 / (12 * 16))
+
+
+def test_cycle_consistency_different_target_shape():
+    """Backward flow defined on a differently-sized target grid is sampled at
+    the forward target coordinates (real pairs can differ per view)."""
+    from ufm_tpu.eval import cycle_consistency_metrics
+
+    fwd = np.zeros((10, 10, 2), dtype=np.float32)
+    fwd[..., 0] = 4.0  # all source pixels map 4px right into a 20-wide target
+    bwd = np.zeros((10, 20, 2), dtype=np.float32)
+    bwd[..., 0] = -4.0
+    m = cycle_consistency_metrics(fwd, bwd)
+    assert m["cycle_epe"] < 1e-6
+    assert m["cycle_coverage"] == 1.0
+
+
+def test_evaluate_pairs_without_gt(tmp_path):
+    """evaluate_pairs(require_gt=False) scores GT-less pairs by cycle
+    consistency via two predictions (fwd + swapped)."""
+    pytest.importorskip("cv2")
+    import cv2
+
+    import jax.numpy as jnp
+
+    from ufm_tpu.eval import evaluate_pairs
+    from ufm_tpu.models.base import UFMFlowFieldOutput, UFMMaskFieldOutput, UFMOutputInterface
+
+    rng = np.random.default_rng(0)
+    img0 = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    img1 = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    cv2.imwrite(str(tmp_path / "p_0.png"), img0)
+    cv2.imwrite(str(tmp_path / "p_1.png"), img1)
+
+    class ConstFlow:
+        def __init__(self):
+            self.calls = 0
+
+        def predict_correspondences_batched(self, source_image, target_image, **_):
+            self.calls += 1
+            sign = 1.0 if self.calls % 2 == 1 else -1.0  # fwd then bwd
+            flow = np.full((1, 2, 24, 32), 1.5 * sign, dtype=np.float32)
+            out = UFMOutputInterface()
+            out.flow = UFMFlowFieldOutput(flow_output=jnp.asarray(flow))
+            out.covisibility = UFMMaskFieldOutput(mask=jnp.ones((1, 24, 32)), logits=None)
+            return out
+
+    model = ConstFlow()
+    agg = evaluate_pairs(model, str(tmp_path), require_gt=False)
+    assert model.calls == 2
+    assert agg["num_pairs"] == 1
+    assert agg["all_flows_finite"]
+    assert agg["cycle_epe"] < 1e-6
+    assert agg["covis_mean"] == 1.0
+    # with require_gt=True (default) the GT-less pair is skipped entirely
+    assert evaluate_pairs(ConstFlow(), str(tmp_path)) == {}

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from ufm_tpu.models import UFMNet, ufm_tiny_config
-from ufm_tpu.parallel import make_mesh, shard_params
+from ufm_tpu.parallel import batch_sharding, make_mesh, shard_params
 from ufm_tpu.training import make_optimizer, make_sharded_train_step, synthetic_batch
 
 
@@ -119,6 +119,103 @@ def test_tp_fsdp_forward_matches_single(tiny_net_and_params, rng):
         np.testing.assert_allclose(
             np.asarray(sharded[key]), np.asarray(single[key]), rtol=2e-4, atol=2e-4, err_msg=key
         )
+
+
+def test_flagship_sharded_train_step_lowers():
+    """FLAGSHIP-shape sharded lowering proof (VERDICT r3 #5): AOT-lower the
+    full train step at real dims (ViT-L/14 560x420, 3x1024 fused qkv, 768
+    info dim, scan-stacked rank-3 kernels, 428M params) over the (2,2,2)
+    mesh using ShapeDtypeStructs — proving the TP/FSDP rules divide the real
+    kernel shapes without materializing any parameters."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import ufm_base_config
+    from ufm_tpu.parallel import tree_shardings
+    from ufm_tpu.training import make_optimizer, make_train_step
+
+    cfg = dataclasses.replace(ufm_base_config(), train_remat=True)
+    net = UFMNet(cfg)
+    h, w = 420, 560
+    img_spec = jax.ShapeDtypeStruct((2, h, w, 3), jnp.float32)
+    params_spec = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((2, h, w, 3)), jnp.zeros((2, h, w, 3)))
+    )["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params_spec))
+    assert n_params > 400e6, "flagship confidence variant expected (~428M params)"
+
+    mesh = make_mesh(8, data=2, fsdp=2, model=2)
+    param_sh = tree_shardings(params_spec, mesh)
+
+    # the hot kernels must actually receive model/fsdp-sharded specs at
+    # flagship dims (divisibility of 3*1024 qkv and the 4096 MLP by 2)
+    enc = param_sh["encoder"]["blocks"]
+    assert enc["attn"]["qkv"]["kernel"].spec == (None, None, "model")
+    assert enc["attn"]["proj"]["kernel"].spec == (None, "model", None)
+    assert enc["mlp"]["fc1"]["kernel"].spec == (None, None, "model")
+    assert enc["mlp"]["fc2"]["kernel"].spec == (None, "model", None)
+    sharded_frac = sum(
+        int(np.prod(s.shape))
+        for s, sh in zip(jax.tree.leaves(params_spec), jax.tree.leaves(param_sh))
+        if any(a is not None for a in sh.spec)
+    ) / n_params
+    assert sharded_frac > 0.9, f"only {sharded_frac:.0%} of params sharded"
+
+    optimizer = make_optimizer(params_spec, learning_rate=1e-4)
+    opt_spec = jax.eval_shape(optimizer.init, params_spec)
+    opt_sh = tree_shardings(opt_spec, mesh)  # mu/nu mirror the param paths
+    batch_spec = {
+        "img1": img_spec,
+        "img2": img_spec,
+        "gt_flow": jax.ShapeDtypeStruct((2, h, w, 2), jnp.float32),
+        "gt_covisibility": jax.ShapeDtypeStruct((2, h, w), jnp.float32),
+    }
+    batch_sh = {k: batch_sharding(mesh, len(v.shape)) for k, v in batch_spec.items()}
+
+    step = make_train_step(net.apply, optimizer, spmd=True)
+    with mesh:
+        lowered = jax.jit(
+            step, in_shardings=(param_sh, opt_sh, batch_sh), donate_argnums=(0, 1)
+        ).lower(params_spec, opt_spec, batch_spec)
+    text = lowered.as_text()
+    assert "sharding" in text  # SPMD annotations made it into the StableHLO
+
+    # adam moments inherited the param shardings (FSDP memory scaling is real)
+    specs = [s.spec for s in jax.tree.leaves(opt_sh) if hasattr(s, "spec")]
+    assert any(tuple(s) == (None, None, "model") for s in specs)
+
+
+def test_flagship_dp_inference_lowers():
+    """DP inference path at flagship dims: batch on all 8 devices' data axis,
+    params replicated — the SURVEY §5 deployment mapping — must lower."""
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import ufm_base_config
+    from ufm_tpu.parallel import tree_shardings
+
+    net = UFMNet(ufm_base_config())
+    h, w = 420, 560
+    params_spec = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)))
+    )["params"]
+    mesh = make_mesh(8, data=8)
+    param_sh = tree_shardings(params_spec, mesh)  # data-only mesh -> replicated
+    assert all(all(a is None for a in s.spec) for s in jax.tree.leaves(param_sh))
+    batch_spec = jax.ShapeDtypeStruct((8, h, w, 3), jnp.float32)
+    bs = batch_sharding(mesh, 4)
+
+    def fwd(p, a, b):
+        from ufm_tpu.ops.flash_attention import spmd_attention
+
+        with spmd_attention():
+            return net.apply({"params": p}, a, b)
+
+    with mesh:
+        lowered = jax.jit(fwd, in_shardings=(param_sh, bs, bs)).lower(
+            params_spec, batch_spec, batch_spec
+        )
+    assert "sharding" in lowered.as_text()
 
 
 def test_tp_fsdp_refine_staged_matches_single(rng):

@@ -102,6 +102,67 @@ def test_stream_predict_order_and_padding():
     np.testing.assert_allclose(values, np.arange(7, dtype=np.float32))
 
 
+def test_stream_predict_staged_matches_monolithic():
+    """The two-dispatch staged driver (refine serving shape) must yield the
+    same per-pair outputs in order with device-resident intermediates."""
+    import jax.numpy as jnp
+
+    from ufm_tpu.runtime.streaming import stream_predict_staged
+
+    def stage1(src, tgt):
+        # intermediates: a tuple, as UFMNet.backbone returns several tensors
+        return src * 2.0, tgt + 1.0
+
+    def stage2(a, b):
+        return {"mean": jnp.mean((a + b).reshape(a.shape[0], -1), axis=1)}
+
+    pairs = [(np.full((4, 4, 3), i, np.float32), np.full((4, 4, 3), -i, np.float32)) for i in range(7)]
+    outs = list(stream_predict_staged(stage1, stage2, pairs, batch_size=3))
+    values = np.concatenate([np.asarray(o["mean"]) for o in outs])
+    # 2i + (-i + 1) = i + 1
+    np.testing.assert_allclose(values, np.arange(7, dtype=np.float32) + 1.0)
+
+
+def test_stream_predict_staged_on_tiny_refine_model(rng):
+    """End-to-end: the tiny refine variant's real staged programs through the
+    staged streaming driver equal the monolithic forward per pair."""
+    import jax
+    import jax.numpy as jnp
+
+    from ufm_tpu.models import UFMNet, ufm_tiny_config
+
+    cfg = ufm_tiny_config(has_classification_head=True, refinement_impl="xla")
+    net = UFMNet(cfg)
+    h, w = 42, 56
+    img = jnp.zeros((2, h, w, 3))
+    params = net.init(jax.random.PRNGKey(0), img, img)["params"]
+
+    from ufm_tpu.runtime.streaming import stream_predict_staged
+
+    @jax.jit
+    def stage1(s, t):
+        out = net.apply({"params": params}, s, t, method="backbone")
+        return s, t, out["flow"], out["cls_in_0"], out["cls_in_1"]
+
+    @jax.jit
+    def stage2(s, t, fl, c0, c1):
+        out = net.apply({"params": params}, s, t, fl, c0, c1, method="refine_tail")
+        return {"flow": out["flow"]}
+
+    pairs = [
+        (rng.standard_normal((h, w, 3)).astype(np.float32),
+         rng.standard_normal((h, w, 3)).astype(np.float32))
+        for _ in range(5)
+    ]
+    outs = list(stream_predict_staged(stage1, stage2, pairs, batch_size=2))
+    staged_flows = np.concatenate([np.asarray(o["flow"]) for o in outs])
+
+    src = jnp.asarray(np.stack([p[0] for p in pairs]))
+    tgt = jnp.asarray(np.stack([p[1] for p in pairs]))
+    mono = net.apply({"params": params}, src, tgt)
+    np.testing.assert_allclose(staged_flows, np.asarray(mono["flow"]), rtol=1e-5, atol=1e-5)
+
+
 def test_native_loader_decodes_pairs(tmp_path, rng):
     pytest.importorskip("cv2")
     import cv2

@@ -108,8 +108,11 @@ def test_remat_policy_matches_plain_gradients(tiny_net_params):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
-    bad = UFMNet(dataclasses.replace(net.cfg, train_remat=True, train_remat_policy="bogus"))
-    with pytest.raises(ValueError, match="unknown remat policy"):
-        jax.grad(
-            lambda pp: jnp.mean(bad.apply({"params": pp}, img, img)["flow"] ** 2)
-        )(params)
+    # both nonexistent names AND policy *factories* (which would be silently
+    # invoked as predicates if passed through) must fail loudly (ADVICE r3)
+    for name in ("bogus", "save_only_these_names", "save_from_both_policies"):
+        bad = UFMNet(dataclasses.replace(net.cfg, train_remat=True, train_remat_policy=name))
+        with pytest.raises(ValueError, match="unknown remat policy"):
+            jax.grad(
+                lambda pp: jnp.mean(bad.apply({"params": pp}, img, img)["flow"] ** 2)
+            )(params)

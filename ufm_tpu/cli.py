@@ -168,21 +168,30 @@ def run_eval(args) -> None:
 
     if not Path(args.directory).is_dir():
         _fail(f"Error: not a directory: {args.directory}")
-    if not any(True for _ in find_pairs(args.directory)):
+    if not any(True for _ in find_pairs(args.directory, require_gt=False)):
         _fail(
             f"Error: no evaluable pairs in {args.directory} "
-            "(expected name_0.png/name_1.png with name_flow.npy, name.flo or name_flow.png)"
+            "(expected name_0.png/name_1.png, optionally with "
+            "name_flow.npy, name.flo or name_flow.png ground truth)"
         )
 
     try:
         model = _load_model(args.model, args.checkpoint, args.random_init)
     except Exception as e:
         _fail(f"Error loading model: {e}")
-    agg = evaluate_pairs(model, args.directory, tiled=args.tiled, out_json=args.output)
-    for k in ("epe", "epe_median", "acc_1px", "acc_3px", "acc_5px", "fl_outlier"):
+    # GT-less pairs (e.g. the reference's bundled real photos) are scored by
+    # forward-backward cycle consistency instead of being skipped
+    agg = evaluate_pairs(
+        model, args.directory, tiled=args.tiled, out_json=args.output, require_gt=False
+    )
+    for k in (
+        "epe", "epe_median", "acc_1px", "acc_3px", "acc_5px", "fl_outlier",
+        "cycle_epe", "cycle_epe_median", "cycle_acc_1px", "cycle_acc_3px",
+        "cycle_coverage", "covis_mean",
+    ):
         if k in agg:
             print(f"{k}: {agg[k]:.4f}")
-    print(f"pairs: {int(agg.get('num_pairs', 0))}")
+    print(f"pairs: {int(agg.get('num_pairs', 0))} (all flows finite: {agg.get('all_flows_finite')})")
     if args.output:
         print(f"Wrote metrics to {args.output}")
 

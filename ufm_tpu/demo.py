@@ -107,17 +107,21 @@ def _bundled_example_pairs():
     import glob
     import os
 
+    pairs = []
+    # the reference's five real photo pairs lead the examples when the
+    # read-only snapshot is mounted (same set as reference
+    # gradio_demo.py:163-172); the generated synthetic pairs follow
     try:
-        from ufm_tpu.utils.example_pairs import ensure_bundled_pairs
+        from ufm_tpu.utils.example_pairs import ensure_bundled_pairs, reference_pair_dir
 
-        pair_dir = ensure_bundled_pairs()
+        dirs = [d for d in (reference_pair_dir(), ensure_bundled_pairs()) if d]
     except Exception:  # demo examples are optional — an unwritable dir just means none
         return []
-    pairs = []
-    for img0 in sorted(glob.glob(os.path.join(pair_dir, "*_0.png"))):
-        img1 = img0[: -len("_0.png")] + "_1.png"
-        if os.path.exists(img1):
-            pairs.append([img0, img1])
+    for pair_dir in dirs:
+        for img0 in sorted(glob.glob(os.path.join(pair_dir, "*_0.png"))):
+            img1 = img0[: -len("_0.png")] + "_1.png"
+            if os.path.exists(img1):
+                pairs.append([img0, img1])
     return pairs
 
 

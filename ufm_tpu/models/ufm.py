@@ -406,7 +406,13 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
     parser = argparse.ArgumentParser(description=_golden_image_main.__doc__)
     parser.add_argument("--model", choices=("base", "refine"), default="base")
     parser.add_argument("--checkpoint", default=None, help="config.json + weights dir (else seeded random init)")
-    parser.add_argument("--pair", default="wide_baseline", help="bundled pair name under examples/image_pairs/")
+    parser.add_argument(
+        "--pair",
+        default="wide_baseline",
+        help="bundled synthetic pair name, or one of the reference's real "
+        "photo pairs (bike/building/cook/fire_academy/scene) when the "
+        "read-only reference snapshot is mounted",
+    )
     parser.add_argument("--output", default="ufm_output.png")
     parser.add_argument("--tiny", action="store_true", help="tiny seeded topology (CI smoke; no checkpoint)")
     args = parser.parse_args(argv)
@@ -425,33 +431,69 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
         print("No --checkpoint given: using seeded random init (zero-egress environment).")
         model = cls.from_config(ufm_refine_config() if args.model == "refine" else ufm_base_config())
 
-    from ufm_tpu.utils.example_pairs import ensure_bundled_pairs
+    from ufm_tpu.utils.example_pairs import (
+        REFERENCE_PAIR_NAMES,
+        ensure_bundled_pairs,
+        load_pair,
+        reference_pair_dir,
+    )
 
-    pair_dir = ensure_bundled_pairs()
-    src = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{args.pair}_0.png")), cv2.COLOR_BGR2RGB)
-    tgt = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{args.pair}_1.png")), cv2.COLOR_BGR2RGB)
+    ref_dir = reference_pair_dir()
+    if args.pair in REFERENCE_PAIR_NAMES:
+        if ref_dir is None:
+            parser.error(
+                f"--pair {args.pair} is a reference photo pair but the reference "
+                "snapshot is not mounted (set UFM_REFERENCE_PAIRS)"
+            )
+        pair_dir = ref_dir
+    else:
+        pair_dir = ensure_bundled_pairs()
+    src, tgt, gt = load_pair(pair_dir, args.pair)
 
     result = model.predict_correspondences_batched(source_image=src, target_image=tgt)
     flow = np.asarray(result.flow.flow_output[0]).transpose(1, 2, 0)  # (H, W, 2)
     covis = np.asarray(result.covisibility.mask[0]) if result.covisibility is not None else np.ones(flow.shape[:2], np.float32)
 
-    gt_path = os.path.join(pair_dir, f"{args.pair}_flow.npy")
-    if os.path.exists(gt_path):
-        gt = np.load(gt_path)
+    def _err_heatmap(err, full_scale):
+        vis = np.clip(err / full_scale, 0.0, 1.0)
+        rgb = np.stack([np.full_like(vis, 1.0), 1.0 - vis, 1.0 - vis], axis=-1)
+        return (rgb * 255).astype(np.uint8)
+
+    if gt is not None:
         epe = np.linalg.norm(flow - gt, axis=-1)
         print(f"EPE vs analytic ground truth: mean {epe.mean():.3f} px, p90 {np.percentile(epe, 90):.3f} px")
-        epe_vis = np.clip(epe / 8.0, 0.0, 1.0)  # 8 px full scale
-        epe_rgb = np.stack([np.full_like(epe_vis, 1.0), 1.0 - epe_vis, 1.0 - epe_vis], axis=-1)
-        epe_rgb = (epe_rgb * 255).astype(np.uint8)
+        epe_rgb = _err_heatmap(epe, 8.0)
     else:
-        epe_rgb = np.zeros_like(src)
+        # real photo pair: no GT exists, so the quantitative cell is the
+        # forward-backward cycle error over the model's covisibility mask
+        from ufm_tpu.eval import cycle_consistency_metrics
+
+        rev = model.predict_correspondences_batched(source_image=tgt, target_image=src)
+        bwd = np.asarray(rev.flow.flow_output[0]).transpose(1, 2, 0)
+        m = cycle_consistency_metrics(flow, bwd, covis)
+        print(
+            "Cycle consistency (no GT for real photos): "
+            f"mean {m.get('cycle_epe', float('nan')):.3f} px, "
+            f"median {m.get('cycle_epe_median', float('nan')):.3f} px "
+            f"over {100 * m['cycle_coverage']:.1f}% of pixels"
+        )
+        h, w = flow.shape[:2]
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+        tx = np.clip(xs + flow[..., 0], 0, bwd.shape[1] - 1)
+        ty = np.clip(ys + flow[..., 1], 0, bwd.shape[0] - 1)
+        bwd_at_fwd = bwd[ty.round().astype(int), tx.round().astype(int)]
+        cyc = np.linalg.norm(flow + bwd_at_fwd, axis=-1) * (covis > 0.5)
+        epe_rgb = _err_heatmap(cyc, 8.0)
 
     warped = warp_image_with_flow(src, None, tgt, flow).astype(np.float32)
     alpha = covis[..., None]
     composite = (alpha * warped + (1.0 - alpha) * 255.0).astype(np.uint8)
     covis_rgb = np.repeat((covis * 255).astype(np.uint8)[..., None], 3, axis=-1)
 
-    top = np.concatenate([src, tgt, flow_to_color(flow)], axis=1)
+    # real pairs can have per-view shapes (e.g. reference bike: 1080x1080 vs
+    # 607x1080); the panel is laid out in the source frame
+    tgt_disp = tgt if tgt.shape[:2] == src.shape[:2] else cv2.resize(tgt, (src.shape[1], src.shape[0]))
+    top = np.concatenate([src, tgt_disp, flow_to_color(flow)], axis=1)
     bottom = np.concatenate([covis_rgb, composite, epe_rgb], axis=1)
     panel = np.concatenate([top, bottom], axis=0)
     cv2.imwrite(args.output, cv2.cvtColor(panel, cv2.COLOR_RGB2BGR))

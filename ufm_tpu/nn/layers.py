@@ -133,13 +133,22 @@ def resolve_remat_policy(name: Optional[str]):
         return None
     import jax
 
-    policy = getattr(jax.checkpoint_policies, name, None)
-    if policy is None or name.startswith("_"):
-        import jax
-
-        valid = sorted(p for p in dir(jax.checkpoint_policies) if not p.startswith("_"))
-        raise ValueError(f"unknown remat policy {name!r}; valid: {valid}")
-    return policy
+    # Only actual (prim, *args, **kwargs) predicate policies are allowed.
+    # jax.checkpoint_policies also exposes policy *factories*
+    # (save_only_these_names, save_from_both_policies, ...) which, passed
+    # directly as policy=, get invoked as predicates and silently change
+    # what is saved instead of failing loudly (ADVICE r3).
+    allowed = (
+        "everything_saveable",
+        "nothing_saveable",
+        "dots_saveable",
+        "checkpoint_dots",
+        "dots_with_no_batch_dims_saveable",
+        "checkpoint_dots_with_no_batch_dims",
+    )
+    if name not in allowed:
+        raise ValueError(f"unknown remat policy {name!r}; valid: {sorted(allowed)}")
+    return getattr(jax.checkpoint_policies, name)
 
 
 def scan_transformer_blocks(

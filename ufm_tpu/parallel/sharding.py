@@ -24,7 +24,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "param_partition_spec", "shard_params", "batch_sharding"]
+__all__ = [
+    "make_mesh",
+    "param_partition_spec",
+    "tree_shardings",
+    "shard_params",
+    "batch_sharding",
+]
 
 
 def make_mesh(
@@ -54,9 +60,13 @@ def make_mesh(
     return Mesh(dev_array, ("data", "fsdp", "model"))
 
 
-# Column-parallel (output dim on 'model'): qkv and MLP up-projections.
+# Column-parallel (output dim on 'model'): qkv and MLP up-projections; the
+# generic fc\d* alternative covers the classification head's patch-MLP
+# layers. Row-parallel (input dim on 'model'): attention out-proj and MLP
+# down-proj — checked FIRST because fc\d* would otherwise also claim
+# mlp/fc2 and force an activation all-gather between fc1 and fc2 instead of
+# the single post-fc2 all-reduce of the Megatron pairing.
 _COL_PARALLEL = re.compile(r"(attn/qkv|mlp/fc1|fc\d*)/kernel$")
-# Row-parallel (input dim on 'model'): attention out-proj and MLP down-proj.
 _ROW_PARALLEL = re.compile(r"(attn/proj|mlp/fc2)/kernel$")
 
 
@@ -66,10 +76,10 @@ def param_partition_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     fsdp_n = mesh.shape["fsdp"]
 
     if len(shape) == 2:
-        if model_n > 1 and _COL_PARALLEL.search(path) and shape[1] % model_n == 0:
-            return P(None, "model")
         if model_n > 1 and _ROW_PARALLEL.search(path) and shape[0] % model_n == 0:
             return P("model", None)
+        if model_n > 1 and _COL_PARALLEL.search(path) and shape[1] % model_n == 0:
+            return P(None, "model")
         # generic dense: FSDP-shard a divisible dim
         if fsdp_n > 1:
             if shape[1] % fsdp_n == 0:
@@ -81,10 +91,10 @@ def param_partition_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     if len(shape) == 3:
         # scan-stacked transformer kernels, (layers, in, out): same TP rules
         # with the layer axis replicated (nn/layers.py scan_transformer_blocks)
-        if model_n > 1 and _COL_PARALLEL.search(path) and shape[2] % model_n == 0:
-            return P(None, None, "model")
         if model_n > 1 and _ROW_PARALLEL.search(path) and shape[1] % model_n == 0:
             return P(None, "model", None)
+        if model_n > 1 and _COL_PARALLEL.search(path) and shape[2] % model_n == 0:
+            return P(None, None, "model")
         if fsdp_n > 1:
             if shape[2] % fsdp_n == 0:
                 return P(None, None, "fsdp")
@@ -102,16 +112,32 @@ def param_partition_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     return P()
 
 
+def tree_shardings(tree: Any, mesh: Mesh) -> Any:
+    """NamedShardings for an arbitrary pytree whose dict-key path identifies
+    each parameter.
+
+    Works on parameter trees AND on structures that embed mirrored copies of
+    them (optimizer states: adam's mu/nu dicts repeat the param paths), and
+    on ``ShapeDtypeStruct`` trees — which is what makes flagship-scale AOT
+    lowering proofs possible without materializing the 428M parameters.
+    Leaves without a shape (optimizer scalars reached through non-dict
+    containers) replicate.
+    """
+    from jax.tree_util import DictKey, tree_map_with_path
+
+    def one(path, leaf):
+        keys = [str(p.key) for p in path if isinstance(p, DictKey)]
+        shape = getattr(leaf, "shape", None)
+        if shape is None:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, param_partition_spec("/".join(keys), tuple(shape), mesh))
+
+    return tree_map_with_path(one, tree)
+
+
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Any:
     """Return (sharding pytree, placed params) for a param tree."""
-
-    def walk(node, prefix=""):
-        if isinstance(node, dict):
-            return {k: walk(v, f"{prefix}/{k}" if prefix else k) for k, v in node.items()}
-        spec = param_partition_spec(prefix, np.shape(node), mesh)
-        return NamedSharding(mesh, spec)
-
-    shardings = walk(params)
+    shardings = tree_shardings(params, mesh)
     placed = jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
     return shardings, placed
 

@@ -24,8 +24,8 @@ nothing it shouldn't.
 Platform notes: by default the artifact targets the platform that exports it
 (``platforms=None``). A multi-platform artifact (``platforms=("tpu","cpu")``)
 requires every traced op to lower on all targets — the Pallas TPU kernels do
-not lower on CPU, so multi-platform export forces the XLA kernel paths
-(``UFM_TPU_ATTENTION=xla`` / ``UFM_REFINE_IMPL=xla``). TPU artifacts
+not lower on CPU, so :func:`export_model` automatically forces the XLA
+kernel paths for the duration of the trace. TPU artifacts
 containing Mosaic kernels embed ``tpu_custom_call`` custom calls; those are
 on JAX's stable allowlist, so no safety-check overrides are needed.
 """
@@ -84,8 +84,38 @@ def export_model(
     net = model.net
     staged = bool(model._use_staged_inference())
 
+    import contextlib
+
+    @contextlib.contextmanager
+    def _portable_kernels():
+        """Force the XLA kernel paths while tracing a multi-platform export.
+
+        Pallas/Mosaic kernels lower only on TPU; without this a
+        ``platforms=("cpu","tpu")`` export on a TPU host fails with an opaque
+        Mosaic lowering error (or worse, a CPU-unusable artifact). The env
+        overrides are restored afterwards (ADVICE r3)."""
+        if not plats or len(plats) <= 1:
+            yield
+            return
+        from ufm_tpu.ops import attention as _attn
+
+        saved = {k: os.environ.get(k) for k in ("UFM_TPU_ATTENTION", "UFM_REFINE_IMPL")}
+        os.environ["UFM_TPU_ATTENTION"] = "xla"
+        os.environ["UFM_REFINE_IMPL"] = "xla"
+        _attn._default_impl.cache_clear()
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            _attn._default_impl.cache_clear()
+
     def _export(fn, *specs) -> bytes:
-        exp = jex.export(jax.jit(fn), platforms=plats)(*specs)
+        with _portable_kernels():
+            exp = jex.export(jax.jit(fn), platforms=plats)(*specs)
         return exp.serialize()
 
     programs: Dict[str, bytes] = {}

@@ -91,6 +91,35 @@ def synthetic_pair(h: int = 540, w: int = 720, seed: int = 0, max_disp: float = 
 
 PAIR_NAMES = ("noise_scene", "parallax", "wide_baseline")
 
+# The reference release bundles five real 1080px photo pairs (reference
+# examples/image_pairs/, listed gradio_demo.py:163-172). They are data, not
+# code; when the read-only snapshot is mounted they drive the eval / golden /
+# tiled / demo paths with natural-image statistics (no GT flow exists for
+# them — consumers fall back to cycle-consistency or qualitative checks).
+REFERENCE_PAIR_NAMES = ("bike", "building", "cook", "fire_academy", "scene")
+
+
+def reference_pair_dir() -> str | None:
+    """Directory of the reference's real photo pairs, or None when the
+    snapshot is not mounted (installed-package / CI environments)."""
+    d = os.environ.get("UFM_REFERENCE_PAIRS", "/root/reference/examples/image_pairs")
+    for n in REFERENCE_PAIR_NAMES:
+        if not (os.path.exists(os.path.join(d, f"{n}_0.png"))
+                and os.path.exists(os.path.join(d, f"{n}_1.png"))):
+            return None
+    return d
+
+
+def load_pair(pair_dir: str, name: str):
+    """Load ``{name}_0/1.png`` as RGB uint8 + the GT flow if present."""
+    import cv2
+
+    img0 = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{name}_0.png")), cv2.COLOR_BGR2RGB)
+    img1 = cv2.cvtColor(cv2.imread(os.path.join(pair_dir, f"{name}_1.png")), cv2.COLOR_BGR2RGB)
+    flow_path = os.path.join(pair_dir, f"{name}_flow.npy")
+    flow = np.load(flow_path) if os.path.exists(flow_path) else None
+    return img0, img1, flow
+
 
 def generate_pairs(out_dir: str) -> None:
     """Write the three named synthetic pairs (+ analytic flow) to out_dir."""
@@ -120,10 +149,13 @@ def ensure_bundled_pairs(out_dir: str | None = None) -> str:
     """Return a directory containing the bundled pairs, generating any that
     are missing (deterministic: fixed seeds)."""
     out_dir = out_dir or default_pair_dir()
+    # the flow .npy is load-bearing for the golden-image check and
+    # ``ufm eval`` on this dir, so its absence must also trigger regeneration
     missing = [
         n for n in PAIR_NAMES
         if not (os.path.exists(os.path.join(out_dir, f"{n}_0.png"))
-                and os.path.exists(os.path.join(out_dir, f"{n}_1.png")))
+                and os.path.exists(os.path.join(out_dir, f"{n}_1.png"))
+                and os.path.exists(os.path.join(out_dir, f"{n}_flow.npy")))
     ]
     if missing:
         generate_pairs(out_dir)

@@ -306,18 +306,24 @@ def get_joint_pointcloud_center_scale(pts1, pts2, valid_mask1=None, valid_mask2=
 
 
 def find_reciprocal_matches(P1, P2):
-    """Mutual nearest neighbors between two point sets (scipy cKDTree;
-    fixes the reference's missing-import bug, geometry.py:525-542)."""
+    """Mutual nearest neighbors between two point sets.
+
+    Returns ``(mask2, idx2_to_1, n)``: a boolean mask over ``P2`` marking the
+    points whose nearest neighbor in ``P1`` points back at them, the P2->P1
+    nearest-neighbor index array, and the mutual-match count — the same
+    contract as the reference's helper (reference utils/geometry.py:525-542,
+    itself the canonical mutual-NN idiom credited there to DUSt3R), with the
+    reference's missing ``KDTree`` import fixed by using scipy's ``cKDTree``.
+    """
     from scipy.spatial import cKDTree
 
-    tree1 = cKDTree(P1)
-    tree2 = cKDTree(P2)
-    _, nn1_in_P2 = tree2.query(P1, workers=-1)
-    _, nn2_in_P1 = tree1.query(P2, workers=-1)
-    reciprocal_in_P1 = nn2_in_P1[nn1_in_P2] == np.arange(len(nn1_in_P2))
-    reciprocal_in_P2 = nn1_in_P2[nn2_in_P1] == np.arange(len(nn2_in_P1))
-    assert reciprocal_in_P1.sum() == reciprocal_in_P2.sum()
-    return reciprocal_in_P2, nn2_in_P1, reciprocal_in_P2.sum()
+    idx1_to_2 = cKDTree(P2).query(P1, workers=-1)[1]  # each P1 point's NN in P2
+    idx2_to_1 = cKDTree(P1).query(P2, workers=-1)[1]  # each P2 point's NN in P1
+    # a pair is mutual when following both hops returns to the start
+    mask1 = idx2_to_1[idx1_to_2] == np.arange(len(P1))
+    mask2 = idx1_to_2[idx2_to_1] == np.arange(len(P2))
+    assert mask1.sum() == mask2.sum()
+    return mask2, idx2_to_1, int(mask2.sum())
 
 
 def rotate_vector_with_quaternion(v, quat, scalar_first: bool = False, skip_norm: bool = False):

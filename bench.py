@@ -305,6 +305,31 @@ def main() -> None:
             "measured_at": serving.get("measured_at"),
         }
 
+    export_file = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_export.json")
+    if os.path.exists(export_file):
+        with open(export_file) as f:
+            record["export"] = json.load(f)
+
+    # TPU-side numerics anchor (VERDICT r3 #4): the seeded tiny forwards
+    # (both variants, pallas path) vs goldens generated once on the v5e
+    # (tpu_anchor.py --update). A Mosaic/XLA-TPU update that moves only the
+    # TPU path fails the canonical round record here — the CPU test suite
+    # cannot see it.
+    try:
+        from ufm_tpu.utils.anchor import check_against_goldens
+
+        anchor_atol = float(os.environ.get("UFM_ANCHOR_ATOL", "1e-4"))
+        deltas = check_against_goldens("_tpu", atol=anchor_atol)
+        record["tpu_anchor"] = {
+            "ok": True,
+            "max_delta": max(deltas.values()),
+            "atol": anchor_atol,
+        }
+    except AssertionError as e:
+        record["tpu_anchor"] = {"ok": False, "error": str(e)[:300]}
+    except Exception as e:  # noqa: BLE001 — anchor is a check, not the headline
+        record["tpu_anchor"] = {"ok": None, "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
     # The driver captures only a bounded tail of stdout and parses the LAST
     # line as the canonical round record (round 3's full nested record
     # outgrew that capture and the headline was truncated away — VERDICT r3
@@ -339,6 +364,11 @@ def main() -> None:
             "pairs_per_sec_sustained_refine_staged"
         ),
         "tiled_1080p_wall_s": _fresh(record.get("tiled_1080p"), "wall_s_median"),
+        "tpu_anchor_ok": record["tpu_anchor"]["ok"],
+        "tpu_anchor_max_delta": record["tpu_anchor"].get("max_delta"),
+        "export_max_flow_delta_px": (
+            record.get("export", {}).get("base", {}).get("fp32", {}).get("max_flow_delta_px_vs_live")
+        ),
         "slow_episode_retries": record["slow_episode_retries"],
         "device": record["device"],
         "full_record": "bench_full.json",

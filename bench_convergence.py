@@ -64,6 +64,12 @@ def main() -> None:
     parser.add_argument("--height", type=int, default=84, help="train height (patch-14 multiple)")
     parser.add_argument("--log-every", type=int, default=20)
     parser.add_argument("--output", default="bench_convergence.json")
+    parser.add_argument(
+        "--save-checkpoint",
+        default=None,
+        help="Persist the trained checkpoint here (e.g. for the tiled-accuracy "
+        "bench, which needs a model that actually estimates flow)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -120,7 +126,7 @@ def main() -> None:
     model.params = out["params"]
 
     # full loop: save through the production checkpoint path and reload
-    ckpt_dir = os.path.join(tmp, "trained_ckpt")
+    ckpt_dir = args.save_checkpoint or os.path.join(tmp, "trained_ckpt")
     model.save_pretrained(ckpt_dir)
     reloaded = UniFlowMatchConfidence.from_pretrained(ckpt_dir)
 

@@ -1,21 +1,29 @@
 """Tiled high-resolution inference benchmark (1080p, coarse-to-fine).
 
-Measures the TPU-native high-res extension (models/tiled.py — the capability
-BASELINE.json's "tiled inference >=1024px" config asks for; the reference
-only downscales, /root/reference/uniflowmatch/models/base.py:236) end to end
-on a 1920x1080 pair with the flagship base model: one coarse pass plus a
-Hann-feathered batched tile sweep (20 native-resolution tiles at 0.33
-overlap).
+Two modes:
 
-Wall-clock here includes host<->device image/flow transfer through this
-environment's session tunnel, which round 3 measured varying by multiples
-between windows (BENCH_NOTES.md serving section) — so the record carries
-both the wall number and the on-chip-equivalent forward cost (tile pairs /
-the measured b4 forward rate) that a directly-attached host would approach.
+``timing`` (default) — measures the TPU-native high-res extension
+(models/tiled.py — the capability BASELINE.json's "tiled inference >=1024px"
+config asks for; the reference only downscales,
+/root/reference/uniflowmatch/models/base.py:236) end to end with the
+flagship base model on a REAL 1080px photo pair (the reference's bundled
+``bike`` pair, reference gradio_demo.py:163-172) when the snapshot is
+mounted, else a synthetic 1920x1080 pair. Wall-clock includes host<->device
+transfer through this environment's session tunnel, which varies by
+multiples between windows (BENCH_NOTES.md) — the record carries both the
+wall number and the on-chip-equivalent forward cost.
 
-Writes bench_tiled.json; run: python bench_tiled.py
+``accuracy`` — the number that justifies (or bounds) the tiled path's extra
+compute (VERDICT r3 #7): coarse-only vs tiled EPE on a real-photo pair with
+EXACT analytic ground truth (a reference photo warped by a known smooth
+field, utils/example_pairs.py::warped_pair_from_image), using a TRAINED
+model (bench_convergence.py --save-checkpoint; a random-init model would
+make the comparison meaningless).
+
+Writes bench_tiled.json; run: python bench_tiled.py [timing|accuracy ...]
 """
 
+import argparse
 import json
 import os
 import subprocess
@@ -42,37 +50,55 @@ def _git_rev() -> str:
         return "unknown"
 
 
-def main():
-    from bench import enable_compile_cache
+def _load_rec():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {}
 
-    enable_compile_cache()
+
+def _save_rec(rec):
+    rec["git_rev"] = _git_rev()
+    rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(OUT, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+def _timing_inputs():
+    """Real bike pair (1080x1080 / 607x1080) when the reference snapshot is
+    mounted; synthetic 1920x1080 otherwise."""
+    from ufm_tpu.utils.example_pairs import load_pair, reference_pair_dir
+
+    d = reference_pair_dir()
+    if d is not None:
+        src, tgt, _ = load_pair(d, "bike")
+        return src, tgt, "reference bike pair (real 1080px photos)"
+    h, w = 1080, 1920
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 127 + 80 * np.sin(xx / 97.0) + 40 * np.cos(yy / 61.0) + rng.integers(0, 32, (h, w))
+    src = np.clip(np.stack([base, base * 0.9, base * 1.1], axis=-1), 0, 255).astype(np.uint8)
+    tgt = np.roll(src, (7, 13), axis=(0, 1))
+    return src, tgt, "synthetic 1920x1080 (reference snapshot not mounted)"
+
+
+def bench_timing():
     import jax
 
     from ufm_tpu.models import UniFlowMatchConfidence, ufm_base_config
-    from ufm_tpu.models.tiled import predict_correspondences_tiled
+    from ufm_tpu.models.tiled import _tile_starts, predict_correspondences_tiled
 
-    h, w = 1080, 1920
-    rng = np.random.default_rng(0)
-    # smooth structure (not pure noise) so covisibility gating has something
-    # to latch onto; values don't matter for timing
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = (
-        127
-        + 80 * np.sin(xx / 97.0)
-        + 40 * np.cos(yy / 61.0)
-        + rng.integers(0, 32, (h, w))
-    )
-    src = np.clip(np.stack([base, base * 0.9, base * 1.1], axis=-1), 0, 255).astype(np.uint8)
-    tgt = np.roll(src, (7, 13), axis=(0, 1))
+    src, tgt, input_desc = _timing_inputs()
+    sh, sw = src.shape[:2]
 
     model = UniFlowMatchConfidence.from_config(ufm_base_config())
-    max_batch = 4  # reuses the b4-compiled pipeline; 20 tiles = 5 full batches
+    max_batch = 4  # reuses the b4-compiled pipeline
 
-    # warm (compiles the coarse 1080p pipeline + the b4 native-tile pipeline)
     t0 = time.perf_counter()
     flow, covis = predict_correspondences_tiled(model, src, tgt, max_batch=max_batch)
     warm_s = time.perf_counter() - t0
-    assert flow.shape == (h, w, 2) and covis.shape == (h, w)
+    assert flow.shape == (sh, sw, 2) and covis.shape == (sh, sw)
+    assert np.isfinite(flow).all() and np.isfinite(covis).all()
 
     times = []
     for _ in range(3):
@@ -81,33 +107,102 @@ def main():
         times.append(time.perf_counter() - t0)
     wall_s = float(np.median(times))
 
-    # tile geometry for the record
-    from ufm_tpu.models.tiled import _tile_starts
-
     tile_w, tile_h = model.inference_resolution[0]
-    n_tiles = len(_tile_starts(h, tile_h, 0.33)) * len(_tile_starts(w, tile_w, 0.33))
-    fwd_pairs = n_tiles + 1  # + the coarse pass
+    n_tiles = len(_tile_starts(sh, tile_h, 0.33)) * len(_tile_starts(sw, tile_w, 0.33))
 
-    rec = {
-        "resolution": f"{w}x{h}",
-        "tiles": n_tiles,
-        "tile_batch": max_batch,
-        "forward_pairs_total": fwd_pairs,
-        "wall_s_median": round(wall_s, 3),
-        "megapixels_per_sec_wall": round(h * w / 1e6 / wall_s, 3),
-        "compile_plus_first_s": round(warm_s, 1),
+    rec = _load_rec()
+    rec.update(
+        {
+            "resolution": f"{sw}x{sh}",
+            "input": input_desc,
+            "tiles": n_tiles,
+            "tile_batch": max_batch,
+            "forward_pairs_total": n_tiles + 1,  # + the coarse pass
+            "wall_s_median": round(wall_s, 3),
+            "megapixels_per_sec_wall": round(sh * sw / 1e6 / wall_s, 3),
+            "compile_plus_first_s": round(warm_s, 1),
+            "flow_finite": True,
+            "covis_mean": round(float(covis.mean()), 4),
+            "note": (
+                "wall includes session-tunnel image/flow transfer (varies by multiples "
+                "between windows); on-chip-equivalent forward cost = forward_pairs_total "
+                "/ the measured b4 forward rate (BENCH_NOTES.md headline)"
+            ),
+            "device": str(jax.devices()[0].device_kind),
+        }
+    )
+    _save_rec(rec)
+    print(json.dumps({k: v for k, v in rec.items() if k != "accuracy"}), flush=True)
+
+
+def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 24.0):
+    import jax
+
+    from ufm_tpu.eval import flow_metrics
+    from ufm_tpu.models import UniFlowMatchConfidence
+    from ufm_tpu.models.tiled import predict_correspondences_tiled
+    from ufm_tpu.utils.example_pairs import (
+        load_pair,
+        reference_pair_dir,
+        warped_pair_from_image,
+    )
+
+    d = reference_pair_dir()
+    assert d is not None, "accuracy mode needs the reference snapshot's real photos"
+    photo_img, _, _ = load_pair(d, photo)
+    img0, img1, gt_flow, _ = warped_pair_from_image(photo_img, seed=3, max_disp=max_disp)
+
+    model = UniFlowMatchConfidence.from_pretrained(checkpoint)
+    w, h = model.inference_resolution[0]
+
+    # coarse-only: the reference's strategy — downscale to the trained grid,
+    # predict, unmap back (all detail above the grid is gone)
+    res = model.predict_correspondences_batched(source_image=img0, target_image=img1)
+    coarse_flow = np.asarray(res.flow.flow_output[0]).transpose(1, 2, 0)
+    coarse = flow_metrics(coarse_flow, gt_flow)
+
+    t0 = time.perf_counter()
+    tiled_flow, _ = predict_correspondences_tiled(model, img0, img1, max_batch=16)
+    tiled_s = time.perf_counter() - t0
+    tiled = flow_metrics(tiled_flow, gt_flow)
+
+    rec = _load_rec()
+    rec["accuracy"] = {
+        "input": f"reference {photo} photo warped by analytic field (max_disp {max_disp})",
+        "resolution": f"{img0.shape[1]}x{img0.shape[0]}",
+        "model": f"trained tiny checkpoint ({checkpoint}), native {w}x{h}",
+        "coarse_epe": round(coarse["epe"], 3),
+        "tiled_epe": round(tiled["epe"], 3),
+        "coarse_acc_3px": round(coarse["acc_3px"], 4),
+        "tiled_acc_3px": round(tiled["acc_3px"], 4),
+        "epe_improvement_x": round(coarse["epe"] / max(tiled["epe"], 1e-9), 2),
+        "tiled_wall_s": round(tiled_s, 1),
+        "backend": jax.default_backend(),
         "note": (
-            "wall includes session-tunnel image/flow transfer (varies by multiples "
-            "between windows); on-chip-equivalent forward cost = forward_pairs_total "
-            "/ the measured b4 forward rate (BENCH_NOTES.md headline)"
+            "trained model required: bench_convergence.py --save-checkpoint; "
+            "exact GT from warping a real photo (zero-egress: released weights "
+            "unavailable, so absolute EPE reflects the small trained model, "
+            "the tiled-vs-coarse DELTA is the measurement)"
         ),
-        "git_rev": _git_rev(),
-        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "device": str(jax.devices()[0].device_kind),
     }
-    with open(OUT, "w") as f:
-        json.dump(rec, f, indent=1)
-    print(json.dumps(rec), flush=True)
+    _save_rec(rec)
+    print(json.dumps(rec["accuracy"]), flush=True)
+
+
+def main():
+    from bench import enable_compile_cache
+
+    enable_compile_cache()
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("mode", nargs="?", default="timing", choices=("timing", "accuracy"))
+    parser.add_argument("--checkpoint", help="trained checkpoint dir (accuracy mode)")
+    parser.add_argument("--photo", default="building")
+    args = parser.parse_args()
+    if args.mode == "accuracy":
+        assert args.checkpoint, "accuracy mode requires --checkpoint (see bench_convergence.py)"
+        bench_accuracy(args.checkpoint, args.photo)
+    else:
+        bench_timing()
 
 
 if __name__ == "__main__":

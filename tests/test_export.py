@@ -128,6 +128,40 @@ def test_export_swappable_params(tmp_path, rng):
     )
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "float16"])
+def test_export_half_precision_params(tmp_path, rng, dtype):
+    """params_dtype halves the params payload; the reloaded model matches the
+    live forward to bf16 weight-rounding tolerance (the compiled program is
+    identical — only the stored weights round-trip through half precision)."""
+    import os
+
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    p32 = str(tmp_path / "fp32.ufmx")
+    p16 = str(tmp_path / "h.ufmx")
+    export_model(model, p32, batch=1)
+    manifest = export_model(model, p16, batch=1, params_dtype=dtype)
+    assert manifest["params_dtype"] == dtype
+    assert manifest["stored_param_bytes"] < 0.55 * manifest["param_bytes"]
+    assert os.path.getsize(p16) < 0.75 * os.path.getsize(p32)
+
+    exported = load_exported(p16)
+    # leaves were cast back to the program's expected fp32
+    assert all(l.dtype == np.dtype(d) for l, d in zip(exported._leaves, manifest["param_orig_dtypes"]))
+    i1, i2 = _images(model, 1, rng)
+    got = exported(i1, i2)
+    want = model.net.apply({"params": model.params}, i1, i2)
+    for k in want:
+        err = np.abs(np.asarray(got[k]) - np.asarray(want[k])).max()
+        scale = np.abs(np.asarray(want[k])).max() + 1e-6
+        assert err / scale < 0.05, f"{k}: relative drift {err/scale:.4f} from {dtype} weights"
+
+
+def test_export_params_dtype_validation(tmp_path):
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    with pytest.raises(ValueError, match="params_dtype"):
+        export_model(model, str(tmp_path / "x.ufmx"), params_dtype="int8")
+
+
 def test_export_multiplatform(tmp_path, rng):
     """platforms=("cpu","tpu"): one artifact lowers for both targets. On the
     CPU test backend the trace takes the XLA kernel paths, which lower on

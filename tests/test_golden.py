@@ -36,28 +36,17 @@ UPDATE = os.environ.get("UFM_UPDATE_GOLDENS") == "1"
 ATOL = 1e-5
 
 
-def _seeded_inputs():
-    rng = np.random.default_rng(20260817)
-    i1 = jnp.asarray(rng.standard_normal((2, 42, 56, 3)).astype(np.float32))
-    i2 = jnp.asarray(rng.standard_normal((2, 42, 56, 3)).astype(np.float32))
-    return i1, i2
-
-
 def _forward_outputs(cfg) -> dict:
+    # NB: deliberately UNJITTED — the committed CPU goldens were generated
+    # op-by-op; the jitted variant lives in ufm_tpu.utils.anchor (shared with
+    # the TPU anchor check in bench.py / tpu_anchor.py)
+    from ufm_tpu.utils.anchor import ANCHOR_KEYS, seeded_inputs
+
     net = UFMNet(cfg)
-    i1, i2 = _seeded_inputs()
+    i1, i2 = seeded_inputs()
     params = net.init(jax.random.PRNGKey(7), i1, i2)["params"]
     out = net.apply({"params": params}, i1, i2)
-    keep = (
-        "flow",
-        "covis_mask",
-        "keypoint_confidence",
-        "flow_cov",
-        "regression_flow",
-        "refinement_residual",
-        "refinement_log_softmax",
-    )
-    return {k: np.asarray(v, dtype=np.float32) for k, v in out.items() if k in keep}
+    return {k: np.asarray(v, dtype=np.float32) for k, v in out.items() if k in ANCHOR_KEYS}
 
 
 def _check_or_update(name: str, outputs: dict):
@@ -102,6 +91,33 @@ def test_golden_refine_variant_pallas():
     # interpret-mode pallas on CPU: same kernel math as the TPU path
     cfg = ufm_tiny_config(has_classification_head=True, refinement_impl="pallas")
     _check_or_update("ufm_refine_tiny_pallas", _forward_outputs(cfg))
+
+
+def test_cpu_tpu_anchor_closeness():
+    """The committed TPU goldens (generated on the v5e by tpu_anchor.py,
+    real Mosaic kernels + bf16-backbone TPU arithmetic) must stay within a
+    documented tolerance of the same seeded computation on CPU — pinning
+    cross-backend agreement so 'TPU drifted' and 'CPU drifted' are
+    distinguishable. Tolerance: bf16 backbone reassociation across backends
+    measured (2026-08-19, v5e vs CPU) max 0.075 on refinement_log_softmax,
+    flows ≤0.041 px; 0.15 bounds it with 2x headroom while still far below
+    any semantic change (the round-2 bf16 selection-matmul default moved
+    refined flow 0.025 px and would NOT trip this — backend-difference
+    pinning is what this test is for, semantic drift is test_golden_* /
+    tpu_anchor.py's job)."""
+    from ufm_tpu.utils.anchor import anchor_configs, anchor_outputs
+
+    CPU_TPU_ATOL = 0.15
+    for name, cfg in anchor_configs().items():
+        path = os.path.join(GOLDEN_DIR, f"{name}_tpu.npz")
+        if not os.path.exists(path):
+            pytest.skip("TPU anchor goldens not committed yet")
+        outs = anchor_outputs(cfg)
+        golden = np.load(path)
+        assert set(golden.files) == set(outs)
+        for k in sorted(outs):
+            d = float(np.max(np.abs(outs[k] - golden[k])))
+            assert d <= CPU_TPU_ATOL, f"{name}:{k} CPU vs TPU-golden delta {d:.3f}"
 
 
 def test_golden_refine_unet_combine():

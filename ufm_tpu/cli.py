@@ -67,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
     exp.add_argument("--batch", type=int, default=1, help="Fixed batch size of the exported program")
     exp.add_argument(
+        "--params-dtype",
+        choices=("bfloat16", "float16"),
+        default=None,
+        help="Store weights in half precision (halves artifact size and load "
+        "time; cast back on load; ≤0.1 px parity cost — docs/SERVING.md)",
+    )
+    exp.add_argument(
         "--random-init",
         action="store_true",
         help="Export randomly initialized weights (artifact smoke test; zero-egress environments)",
@@ -204,15 +211,18 @@ def run_export(args) -> None:
     from ufm_tpu.runtime import export_model
 
     try:
-        manifest = export_model(model, args.output, batch=args.batch)
+        manifest = export_model(
+            model, args.output, batch=args.batch, params_dtype=args.params_dtype
+        )
     except Exception as e:
         _fail(f"Error exporting model: {e}")
     size_mb = Path(args.output).stat().st_size / 1e6
     programs = "backbone+tail (staged)" if manifest["staged"] else "forward"
+    dtype_note = f", params {manifest['params_dtype']}" if manifest.get("params_dtype") else ""
     print(
         f"Exported {manifest['model_class']} ({programs}, batch {manifest['batch']}, "
         f"{manifest['resolution_wh'][0]}x{manifest['resolution_wh'][1]}, "
-        f"platforms {','.join(manifest['platforms'])}) -> {args.output} ({size_mb:.1f} MB)"
+        f"platforms {','.join(manifest['platforms'])}{dtype_note}) -> {args.output} ({size_mb:.1f} MB)"
     )
 
 

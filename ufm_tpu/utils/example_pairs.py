@@ -44,12 +44,13 @@ def _texture(h: int, w: int, seed: int) -> np.ndarray:
     return (img * 255).astype(np.uint8)
 
 
-def synthetic_pair(h: int = 540, w: int = 720, seed: int = 0, max_disp: float = 24.0):
-    """Returns (img0, img1, flow, valid): img1 is img0 backward-warped by a
-    smooth analytic flow field (so flow maps img0 pixels to img1 pixels)."""
+def _warped_pair_from_big(big: np.ndarray, h: int, w: int, seed: int, max_disp: float):
+    """Shared warp core: crop img0 from ``big`` and resample img1 at
+    analytically-shifted coordinates. Returns (img0, img1, flow, valid) where
+    flow maps img0 pixels to img1 pixels."""
     rng = np.random.default_rng(seed)
-    big = _texture(h + 2 * int(max_disp) + 4, w + 2 * int(max_disp) + 4, seed)
     pad = int(max_disp) + 2
+    assert big.shape[0] >= h + 2 * pad and big.shape[1] >= w + 2 * pad
 
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     # smooth flow: affine + sinusoidal parallax
@@ -86,7 +87,27 @@ def synthetic_pair(h: int = 540, w: int = 720, seed: int = 0, max_disp: float = 
     # For smooth small flows, f(p') ≈ f(p), giving flow ≈ -f.
     flow = np.stack([-fx, -fy], axis=-1).astype(np.float32)
     valid = np.ones((h, w), dtype=bool)
-    return img0, img1, flow, valid
+    return np.ascontiguousarray(img0), img1, flow, valid
+
+
+def synthetic_pair(h: int = 540, w: int = 720, seed: int = 0, max_disp: float = 24.0):
+    """Returns (img0, img1, flow, valid): img1 is img0 backward-warped by a
+    smooth analytic flow field (so flow maps img0 pixels to img1 pixels)."""
+    big = _texture(h + 2 * int(max_disp) + 4, w + 2 * int(max_disp) + 4, seed)
+    return _warped_pair_from_big(big, h, w, seed, max_disp)
+
+
+def warped_pair_from_image(image: np.ndarray, seed: int = 0, max_disp: float = 24.0):
+    """Analytic-ground-truth pair from a REAL photo: the same warp core as
+    ``synthetic_pair`` applied to natural image statistics — the only way to
+    get exact GT flow on real photographs in a zero-egress environment
+    (the reference's bundled pairs have no GT). Output is the photo minus a
+    ``max_disp``-sized border. Returns (img0, img1, flow, valid)."""
+    img = np.asarray(image)
+    pad = int(max_disp) + 2
+    h, w = img.shape[0] - 2 * pad, img.shape[1] - 2 * pad
+    assert h > 0 and w > 0, f"image {img.shape} too small for max_disp {max_disp}"
+    return _warped_pair_from_big(img, h, w, seed, max_disp)
 
 
 PAIR_NAMES = ("noise_scene", "parallax", "wide_baseline")

@@ -162,6 +162,61 @@ def test_export_params_dtype_validation(tmp_path):
         export_model(model, str(tmp_path / "x.ufmx"), params_dtype="int8")
 
 
+def test_artifact_model_full_predict_parity(tmp_path, rng):
+    """ArtifactUFM wraps the raw AOT program in the FULL public predict API
+    (layout/normalize/resize/unmap host pipeline); its outputs are identical
+    to the live model's predict_correspondences_batched, and the fixed batch
+    of the artifact is enforced with a clear error."""
+    from ufm_tpu.runtime import load_artifact_model
+
+    model = UniFlowMatchConfidence.from_config(ufm_tiny_config())
+    path = str(tmp_path / "base.ufmx")
+    export_model(model, path, batch=1)
+    art = load_artifact_model(path)
+    assert art.data_norm_type == model.data_norm_type
+
+    # non-native resolution exercises resize + region unmap around the program
+    src = np.asarray(rng.integers(0, 255, (150, 200, 3)), dtype=np.uint8)
+    tgt = np.asarray(rng.integers(0, 255, (150, 200, 3)), dtype=np.uint8)
+    live = model.predict_correspondences_batched(src, tgt)
+    aot = art.predict_correspondences_batched(src, tgt)
+    np.testing.assert_array_equal(
+        np.asarray(live.flow.flow_output), np.asarray(aot.flow.flow_output)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(live.covisibility.mask), np.asarray(aot.covisibility.mask)
+    )
+
+    with pytest.raises(ValueError, match="fixed batch"):
+        art.predict_correspondences_batched(
+            np.stack([src, src]), np.stack([tgt, tgt])
+        )
+
+
+def test_artifact_model_staged_refine_predict(tmp_path, rng):
+    """The staged (backbone+tail) artifact drives the same two-dispatch
+    device-resident predict path as the live refine model."""
+    from ufm_tpu.runtime import load_artifact_model
+
+    cfg = ufm_tiny_config(has_classification_head=True, refinement_range=3)
+    model = UniFlowMatchClassificationRefinement.from_config(cfg)
+    path = str(tmp_path / "refine.ufmx")
+    export_model(model, path, batch=1)
+    art = load_artifact_model(path)
+    assert art._use_staged_inference()
+
+    src = np.asarray(rng.integers(0, 255, (96, 128, 3)), dtype=np.uint8)
+    tgt = np.asarray(rng.integers(0, 255, (96, 128, 3)), dtype=np.uint8)
+    live = model.predict_correspondences_batched(src, tgt)
+    aot = art.predict_correspondences_batched(src, tgt)
+    np.testing.assert_array_equal(
+        np.asarray(live.flow.flow_output), np.asarray(aot.flow.flow_output)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(live.covisibility.mask), np.asarray(aot.covisibility.mask)
+    )
+
+
 def test_export_multiplatform(tmp_path, rng):
     """platforms=("cpu","tpu"): one artifact lowers for both targets. On the
     CPU test backend the trace takes the XLA kernel paths, which lower on

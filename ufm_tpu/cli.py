@@ -11,8 +11,22 @@ check. Everything behind those flags is this project's own plumbing.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
+
+# Honor JAX_PLATFORMS even when a sitecustomize pins an accelerator plugin at
+# interpreter start (env alone cannot override an already-applied config;
+# jax.config.update before backend init can). Keeps `JAX_PLATFORMS=cpu ufm test`
+# hermetic instead of opening a device tunnel.
+_platforms = os.environ.get("JAX_PLATFORMS")
+if _platforms:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", _platforms)
+    except Exception:  # noqa: BLE001 — backend already initialized; leave as-is
+        pass
 
 HUB_REPOS = {"base": "infinity1096/UFM-Base", "refine": "infinity1096/UFM-Refine"}
 OUTPUT_FILES = ("flow_visualization.png", "covisibility_mask.png", "warped_source.png")
@@ -45,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--random-init",
         action="store_true",
         help="Run with randomly initialized weights (pipeline smoke test; zero-egress environments)",
+    )
+    infer.add_argument(
+        "--artifact",
+        help="Serve from a compiled .ufmx artifact (ufm export) instead of a live model — "
+        "no flax/checkpoint machinery, AOT programs only",
     )
 
     ev = sub.add_parser("eval", help="Evaluate on a directory of pairs with ground-truth flow")
@@ -79,6 +98,28 @@ def build_parser() -> argparse.ArgumentParser:
         help="Export randomly initialized weights (artifact smoke test; zero-egress environments)",
     )
 
+    srv = sub.add_parser(
+        "serve", help="Run the HTTP serving daemon (live model or compiled .ufmx artifact)"
+    )
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8000)
+    srv.add_argument("--model", choices=sorted(HUB_REPOS), default="base")
+    srv.add_argument("--checkpoint", help="Local checkpoint directory (native or HF layout)")
+    srv.add_argument(
+        "--artifact",
+        help="Serve from a compiled .ufmx artifact (ufm export) — the production layout; "
+        "no flax/checkpoint machinery in the serving process",
+    )
+    srv.add_argument(
+        "--random-init",
+        action="store_true",
+        help="Serve randomly initialized weights (daemon smoke test; zero-egress environments)",
+    )
+    srv.add_argument("--max-batch", type=int, default=1, help="Continuous-batching lane width")
+    srv.add_argument(
+        "--max-delay-ms", type=float, default=3.0, help="Batching window before dispatch"
+    )
+
     sub.add_parser("test", help="Test installation")
     return parser
 
@@ -91,6 +132,7 @@ def main() -> None:
         "infer": run_inference,
         "eval": run_eval,
         "export": run_export,
+        "serve": run_serve,
         "test": lambda _: test_installation(),
     }.get(args.command)
     if handler is None:
@@ -99,7 +141,12 @@ def main() -> None:
     handler(args)
 
 
-def _load_model(variant: str, checkpoint: str | None, random_init: bool = False):
+def _load_model(variant: str, checkpoint: str | None, random_init: bool = False, artifact: str | None = None):
+    if artifact:
+        from ufm_tpu.runtime import load_artifact_model
+
+        return load_artifact_model(artifact)
+
     from ufm_tpu.models import (
         UniFlowMatchClassificationRefinement,
         UniFlowMatchConfidence,
@@ -143,7 +190,7 @@ def run_inference(args) -> None:
         _fail(f"Error: could not read {args.source if source_rgb is None else args.target}")
 
     try:
-        model = _load_model(args.model, args.checkpoint, args.random_init)
+        model = _load_model(args.model, args.checkpoint, args.random_init, getattr(args, "artifact", None))
         print("Running inference...")
         result = model.predict_correspondences_batched(source_image=source_rgb, target_image=target_rgb)
     except Exception as e:
@@ -224,6 +271,29 @@ def run_export(args) -> None:
         f"{manifest['resolution_wh'][0]}x{manifest['resolution_wh'][1]}, "
         f"platforms {','.join(manifest['platforms'])}{dtype_note}) -> {args.output} ({size_mb:.1f} MB)"
     )
+
+
+def run_serve(args) -> None:
+    try:
+        model = _load_model(args.model, args.checkpoint, args.random_init, args.artifact)
+    except Exception as e:
+        _fail(f"Error loading model: {e}")
+    from ufm_tpu.runtime.server import UFMServer
+
+    source = args.artifact or args.checkpoint or ("random-init" if args.random_init else HUB_REPOS[args.model])
+    server = UFMServer(
+        model,
+        host=args.host,
+        port=args.port,
+        max_batch=args.max_batch,
+        max_delay_ms=args.max_delay_ms,
+    )
+    print(f"Serving {type(model).__name__} ({source}) at http://{args.host}:{args.port}")
+    print("  GET /healthz | GET /stats | POST /v1/predict (npz or JSON, see runtime/server.py)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.close()
 
 
 def launch_demo(args) -> None:

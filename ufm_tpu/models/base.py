@@ -262,8 +262,6 @@ class UniFlowMatchModelsBase:
         else:
             prev_mean = prev_std = None
 
-        network_fn = self._network_fn()
-
         def preprocess(src_bchw, tgt_bchw):
             # layout + dtype + normalization (fused; reference base.py:187-231)
             src = jnp.transpose(src_bchw, (0, 2, 3, 1))
@@ -342,6 +340,7 @@ class UniFlowMatchModelsBase:
 
             jitted = pipeline
         else:
+            network_fn = self._network_fn()
 
             @jax.jit
             def jitted(params, src_bchw, tgt_bchw):

@@ -40,7 +40,14 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["export_model", "load_exported", "ExportedUFM", "ARTIFACT_SUFFIX"]
+__all__ = [
+    "export_model",
+    "load_exported",
+    "load_artifact_model",
+    "ExportedUFM",
+    "ArtifactUFM",
+    "ARTIFACT_SUFFIX",
+]
 
 ARTIFACT_SUFFIX = ".ufmx"
 _ARTIFACT_VERSION = 1
@@ -214,6 +221,7 @@ class ExportedUFM:
         import jax
 
         self.manifest = manifest
+        self._programs = programs  # raw deserialized jax.export programs
         self._leaves = tuple(jax.device_put(l) for l in leaves)
 
         if manifest["staged"]:
@@ -282,3 +290,88 @@ def load_exported(path: str) -> ExportedUFM:
                 leaves.append(a)
             leaves = tuple(leaves)
     return ExportedUFM(manifest, programs, leaves)
+
+
+_ARTIFACT_MODEL_CLS = None
+
+
+def _artifact_model_cls():
+    """``ArtifactUFM`` class, built lazily so importing ``ufm_tpu.runtime``
+    does not pull the model zoo (flax) in."""
+    global _ARTIFACT_MODEL_CLS
+    if _ARTIFACT_MODEL_CLS is not None:
+        return _ARTIFACT_MODEL_CLS
+
+    from ufm_tpu.models.base import UniFlowMatchModelsBase
+
+    class ArtifactUFM(UniFlowMatchModelsBase):
+        """A ``.ufmx`` artifact wrapped in the FULL public predict API.
+
+        :func:`load_exported` gives the raw fixed-shape network program;
+        this adds the production host pipeline around it — layout/dtype
+        normalization, resize-to-grid with region bookkeeping, forward
+        through the AOT program(s), unmap back to input resolution,
+        covariance rescale — the same ``predict_correspondences_batched``
+        contract as a live model (reference base.py:137-234), with zero
+        flax/zoo/checkpoint machinery at serving time. Inputs must match
+        the artifact's fixed batch size; any input resolution is accepted
+        (the host pipeline resizes and unmaps).
+        """
+
+        def __init__(self, exp: ExportedUFM):
+            w, h = exp.resolution_wh
+            super().__init__(inference_resolution=[(w, h)])
+            self.exported = exp
+            self.manifest = exp.manifest
+
+        @property
+        def data_norm_type(self) -> str:
+            return self.manifest["data_norm_type"]
+
+        def _params_for_apply(self):
+            return self.exported._leaves
+
+        def _use_staged_inference(self) -> bool:
+            return bool(self.manifest["staged"])
+
+        def _network_fn(self):
+            prog = self.exported._programs["forward.shlo"]
+            return lambda lvs, i1, i2: prog.call(lvs, i1, i2)
+
+        def _network_backbone_fn(self):
+            prog = self.exported._programs["backbone.shlo"]
+            return lambda lvs, i1, i2: prog.call(lvs, i1, i2)
+
+        def _network_tail_fn(self):
+            prog = self.exported._programs["tail.shlo"]
+            return lambda lvs, i1, i2, flow, c0, c1: prog.call(lvs, i1, i2, flow, c0, c1)
+
+        def predict_correspondences_batched(self, source_image, target_image, data_norm_type=None):
+            import numpy as np_
+
+            src = np_.asarray(source_image)
+            b = src.shape[0] if src.ndim == 4 else 1
+            if b != self.exported.batch:
+                raise ValueError(
+                    f"artifact was exported at fixed batch {self.exported.batch}; "
+                    f"got batch {b} (re-export with --batch {b}, runtime/export.py)"
+                )
+            return super().predict_correspondences_batched(
+                source_image, target_image, data_norm_type=data_norm_type
+            )
+
+    _ARTIFACT_MODEL_CLS = ArtifactUFM
+    return ArtifactUFM
+
+
+def __getattr__(name: str):
+    if name == "ArtifactUFM":
+        return _artifact_model_cls()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def load_artifact_model(path: str):
+    """Load a ``.ufmx`` artifact as an :class:`ArtifactUFM` — the raw AOT
+    programs wrapped in the full public predict pipeline (see the class
+    docstring)."""
+    return _artifact_model_cls()(load_exported(path))

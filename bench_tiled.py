@@ -135,7 +135,7 @@ def bench_timing():
     print(json.dumps({k: v for k, v in rec.items() if k != "accuracy"}), flush=True)
 
 
-def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 24.0):
+def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 24.0, gate_px=None):
     import jax
 
     from ufm_tpu.eval import flow_metrics
@@ -162,7 +162,9 @@ def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 2
     coarse = flow_metrics(coarse_flow, gt_flow)
 
     t0 = time.perf_counter()
-    tiled_flow, _ = predict_correspondences_tiled(model, img0, img1, max_batch=16)
+    tiled_flow, _ = predict_correspondences_tiled(
+        model, img0, img1, max_batch=16, coarse_gate_px=gate_px
+    )
     tiled_s = time.perf_counter() - t0
     tiled = flow_metrics(tiled_flow, gt_flow)
 
@@ -177,6 +179,7 @@ def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 2
         "tiled_acc_3px": round(tiled["acc_3px"], 4),
         "epe_improvement_x": round(coarse["epe"] / max(tiled["epe"], 1e-9), 2),
         "tiled_wall_s": round(tiled_s, 1),
+        "tile_stats": dict(__import__("ufm_tpu.models.tiled", fromlist=["x"]).last_tile_stats),
         "backend": jax.default_backend(),
         "note": (
             "trained model required: bench_convergence.py --save-checkpoint; "
@@ -197,10 +200,11 @@ def main():
     parser.add_argument("mode", nargs="?", default="timing", choices=("timing", "accuracy"))
     parser.add_argument("--checkpoint", help="trained checkpoint dir (accuracy mode)")
     parser.add_argument("--photo", default="building")
+    parser.add_argument("--gate-px", type=float, default=None, help="robust-fusion gate override (accuracy mode)")
     args = parser.parse_args()
     if args.mode == "accuracy":
         assert args.checkpoint, "accuracy mode requires --checkpoint (see bench_convergence.py)"
-        bench_accuracy(args.checkpoint, args.photo)
+        bench_accuracy(args.checkpoint, args.photo, gate_px=args.gate_px)
     else:
         bench_timing()
 

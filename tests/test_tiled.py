@@ -76,3 +76,32 @@ def test_tiled_small_image_falls_back_to_coarse():
     flow, covis = predict_correspondences_tiled(model, src, src)
     np.testing.assert_allclose(flow[..., 0], 2.0, atol=1e-3)
     np.testing.assert_allclose(flow[..., 1], 3.0, atol=1e-3)
+
+
+class BadTileModel(StubModel):
+    """Correct on the full-frame (coarse) call, catastrophically wrong on
+    every native-resolution tile call — models a mislocated target window
+    (textureless tile median) that round-4 robust fusion must reject."""
+
+    def predict_correspondences_batched(self, source_image, target_image, **kw):
+        out = super().predict_correspondences_batched(source_image, target_image, **kw)
+        src = np.asarray(source_image)
+        h = src.shape[1] if src.ndim == 4 else src.shape[0]
+        if h == self.inference_resolution[0][1]:  # native-res tile call
+            out.flow = UFMFlowFieldOutput(flow_output=out.flow.flow_output + 50.0)
+        return out
+
+
+def test_tiled_rejects_tiles_disagreeing_with_coarse():
+    from ufm_tpu.models import tiled
+
+    dx, dy = 7.0, -5.0
+    src = _position_image(96, 144)
+    model = BadTileModel(dx, dy)
+    flow, _ = predict_correspondences_tiled(model, src, src, overlap=0.5, max_batch=4)
+
+    # every tile disagreed with the coarse solution by ~70px >> gate; robust
+    # fusion must fall back to the coarse result instead of averaging garbage
+    np.testing.assert_allclose(flow[..., 0], dx, atol=1e-3)
+    np.testing.assert_allclose(flow[..., 1], dy, atol=1e-3)
+    assert tiled.last_tile_stats["tiles_rejected"] == tiled.last_tile_stats["tiles"] > 0

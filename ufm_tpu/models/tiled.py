@@ -25,7 +25,11 @@ from typing import List, Tuple
 
 import numpy as np
 
-__all__ = ["predict_correspondences_tiled"]
+__all__ = ["predict_correspondences_tiled", "last_tile_stats"]
+
+# diagnostics of the most recent call (tile counts, rejections, gate) —
+# read by bench_tiled.py's accuracy record; not part of the stable API
+last_tile_stats: dict = {}
 
 
 def _tile_starts(full: int, tile: int, overlap: float) -> List[int]:
@@ -49,12 +53,20 @@ def predict_correspondences_tiled(
     target_image: np.ndarray,
     overlap: float = 0.33,
     max_batch: int = 16,
+    coarse_gate_px: float | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """High-res correspondence via coarse-to-fine tiling.
 
     source_image/target_image: (H, W, 3) uint8 RGB (may differ in size).
     Returns (flow (H, W, 2) float32 xy in source pixel space, covisibility
     (H, W) float32).
+
+    ``coarse_gate_px`` bounds how far the fine result may pull away from the
+    coarse global solution before it stops being trusted (robust fusion; see
+    step 3 below). Default: the coarse pass's detail scale — the downscale
+    factor in pixels — since genuine tile-level corrections recover detail
+    the downscale blurred and are bounded by it, while larger deviations are
+    tile failures (mislocated window / textureless tile).
     """
     src = np.asarray(source_image)
     tgt = np.asarray(target_image)
@@ -104,6 +116,15 @@ def predict_correspondences_tiled(
     weight_acc = np.zeros((sh, sw), dtype=np.float64)
     feather = _hann2d(tile_h, tile_w)
 
+    # ---- 3. robust fusion bounds -------------------------------------------
+    # The coarse pass lost detail at the downscale factor's scale; genuine
+    # fine corrections are bounded by it. Beyond that, a tile is suspect
+    # (window mislocated by a bad median, textureless content, occlusion).
+    scale_factor = max(sh / tile_h, sw / tile_w, 1.0)
+    gate_px = float(coarse_gate_px) if coarse_gate_px is not None else max(4.0, scale_factor)
+    tile_reject_px = 2.0 * gate_px
+    tiles_rejected = 0
+
     for i in range(0, len(tiles), max_batch):
         batch_src = np.stack(tiles[i : i + max_batch])
         batch_tgt = np.stack(windows[i : i + max_batch])
@@ -118,6 +139,14 @@ def predict_correspondences_tiled(
             x0, y0, wx0, wy0 = offsets[i + j]
             # absolute flow: source pixel (x0+x) maps to (wx0 + x + fine_x)
             abs_flow = fine_flow[j] + np.array([wx0 - x0, wy0 - y0], dtype=np.float64)
+            # whole-tile rejection: when even the MEDIAN pixel disagrees with
+            # the global solution beyond the detail scale, the window was
+            # mislocated — nothing in this tile is trustworthy
+            coarse_roi = coarse_flow[y0 : y0 + tile_h, x0 : x0 + tile_w]
+            disagree = np.linalg.norm(abs_flow - coarse_roi, axis=-1)
+            if np.median(disagree) > tile_reject_px:
+                tiles_rejected += 1
+                continue
             wgt = feather * np.clip(fine_cov[j], 0.05, None)
             flow_acc[y0 : y0 + tile_h, x0 : x0 + tile_w] += abs_flow * wgt[..., None]
             cov_acc[y0 : y0 + tile_h, x0 : x0 + tile_w] += fine_cov[j] * feather
@@ -133,6 +162,15 @@ def predict_correspondences_tiled(
         feath_only[y0 : y0 + tile_h, x0 : x0 + tile_w] += feather
     cov_norm[covered] = (cov_acc / np.where(feath_only > 0, feath_only, 1.0))[covered]
 
-    flow_out = np.where(covered[..., None], flow_fine, coarse_flow)
+    # per-pixel soft gate: pull the fused result toward coarse as the
+    # disagreement leaves the plausible-correction band (Gaussian falloff at
+    # gate_px), so single-pixel tile outliers cannot dominate the EPE tail
+    d = np.linalg.norm(flow_fine - coarse_flow, axis=-1)
+    w_fine = np.exp(-((d / gate_px) ** 2)) * covered
+    flow_out = coarse_flow + w_fine[..., None] * (flow_fine - coarse_flow)
     cov_out = np.where(covered, cov_norm, coarse_covis)
+    last_tile_stats.clear()
+    last_tile_stats.update(
+        tiles=len(tiles), tiles_rejected=tiles_rejected, gate_px=round(gate_px, 2)
+    )
     return flow_out.astype(np.float32), cov_out.astype(np.float32)

@@ -130,6 +130,7 @@ def bench_stream_device():
 
     batch = int(os.environ.get("UFM_BENCH_BATCH", "8"))
     n_batches = int(os.environ.get("UFM_BENCH_ITERS", "24"))
+    depth = int(os.environ.get("UFM_BENCH_PIPELINE", "2"))
     ring = 4
     h, w = 420, 560
 
@@ -153,14 +154,19 @@ def bench_stream_device():
     # warm-up / compile (forward + the scalar-slice fetch program)
     sync(fwd(params, src_d[0], tgt_d[0]))
 
+    # depth-D pipeline: sync the batch D behind the freshest dispatch, so the
+    # per-batch sync lands on work that already finished — the fetch round
+    # trip rides on top of device compute instead of serializing with it.
+    from collections import deque
+
     t0 = time.perf_counter()
-    prev = None
+    window: "deque" = deque()
     for i in range(n_batches):
-        out = fwd(params, src_d[i % ring], tgt_d[i % ring])
-        if prev is not None:
-            sync(prev)  # one-deep pipeline: device stays busy during the fetch
-        prev = out
-    sync(prev)
+        window.append(fwd(params, src_d[i % ring], tgt_d[i % ring]))
+        if len(window) > depth:
+            sync(window.popleft())
+    while window:
+        sync(window.popleft())
     dt = time.perf_counter() - t0
     rate = n_batches * batch / dt
 
@@ -168,6 +174,7 @@ def bench_stream_device():
     rec["stream_device"] = {
         "batch": batch,
         "batches": n_batches,
+        "pipeline_depth": depth,
         "pairs_per_sec_sustained": round(rate, 2),
         "note": "device-resident input ring, scalar-slice sync; transfer off critical path",
         "device": str(jax.devices()[0]),
@@ -192,6 +199,7 @@ def bench_stream_device_refine():
 
     batch = int(os.environ.get("UFM_BENCH_BATCH", "4"))
     n_batches = int(os.environ.get("UFM_BENCH_ITERS", "24"))
+    depth = int(os.environ.get("UFM_BENCH_PIPELINE", "2"))
     ring = 4
     h, w = 420, 560
 
@@ -225,14 +233,16 @@ def bench_stream_device_refine():
 
     sync(staged(src_d[0], tgt_d[0]))  # compile both programs + fetch
 
+    from collections import deque
+
     t0 = time.perf_counter()
-    prev = None
+    window: "deque" = deque()
     for i in range(n_batches):
-        out = staged(src_d[i % ring], tgt_d[i % ring])
-        if prev is not None:
-            sync(prev)  # one-deep pipeline across the two-dispatch boundary
-        prev = out
-    sync(prev)
+        window.append(staged(src_d[i % ring], tgt_d[i % ring]))
+        if len(window) > depth:
+            sync(window.popleft())  # depth-D pipeline across the two-dispatch boundary
+    while window:
+        sync(window.popleft())
     dt = time.perf_counter() - t0
     rate = n_batches * batch / dt
 
@@ -242,6 +252,7 @@ def bench_stream_device_refine():
     rec["stream_device_refine"] = {
         "batch": batch,
         "batches": n_batches,
+        "pipeline_depth": depth,
         "pairs_per_sec_sustained": round(rate, 2),
         "config_hash": refine_config_hash(cfg),
         "note": (

@@ -26,26 +26,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import tempfile
 import time
 
 import numpy as np
 
 
-def _git_rev() -> str:
-    try:
-        return (
-            subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True,
-                text=True,
-            ).stdout.strip()
-            or "unknown"
-        )
-    except Exception:
-        return "unknown"
+from bench_record import git_rev as _git_rev
 
 
 def _predict_epe(model, img0: np.ndarray, img1: np.ndarray, gt_flow: np.ndarray) -> float:

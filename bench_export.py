@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -26,32 +25,16 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "bench_export.json")
 BUDGET_PX = float(os.environ.get("UFM_EXPORT_BUDGET_PX", "0.08"))
 
-
-def _git_rev() -> str:
-    try:
-        return (
-            subprocess.run(
-                ["git", "-C", HERE, "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip() or "unknown"
-        )
-    except Exception:
-        return "unknown"
+from bench_record import load_rec, save_rec
 
 
 def _load_rec():
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            return json.load(f)
-    return {}
+    return load_rec(OUT)
 
 
 def _save_rec(rec):
-    rec["git_rev"] = _git_rev()
-    rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     rec["budget_px"] = BUDGET_PX
-    with open(OUT, "w") as f:
-        json.dump(rec, f, indent=1)
+    save_rec(OUT, rec)
 
 
 def main():

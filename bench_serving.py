@@ -17,40 +17,23 @@ Writes bench_serving.json incrementally.
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 import numpy as np
 
+from bench_record import load_rec, save_rec
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "bench_serving.json")
 
 
-def _git_rev() -> str:
-    try:
-        return (
-            subprocess.run(
-                ["git", "-C", HERE, "rev-parse", "--short", "HEAD"],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip() or "unknown"
-        )
-    except Exception:
-        return "unknown"
-
-
 def _load_rec():
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            return json.load(f)
-    return {}
+    return load_rec(OUT)
 
 
 def _save_rec(rec):
-    rec["git_rev"] = _git_rev()
-    rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    with open(OUT, "w") as f:
-        json.dump(rec, f, indent=1)
+    save_rec(OUT, rec)
 
 
 def bench_stream():

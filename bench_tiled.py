@@ -26,42 +26,22 @@ Writes bench_tiled.json; run: python bench_tiled.py [timing|accuracy ...]
 import argparse
 import json
 import os
-import subprocess
 import time
 
 import numpy as np
+
+from bench_record import load_rec, save_rec
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "bench_tiled.json")
 
 
-def _git_rev() -> str:
-    try:
-        return (
-            subprocess.run(
-                ["git", "-C", HERE, "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                timeout=10,
-            ).stdout.strip()
-            or "unknown"
-        )
-    except Exception:
-        return "unknown"
-
-
 def _load_rec():
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            return json.load(f)
-    return {}
+    return load_rec(OUT)
 
 
 def _save_rec(rec):
-    rec["git_rev"] = _git_rev()
-    rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-    with open(OUT, "w") as f:
-        json.dump(rec, f, indent=1)
+    save_rec(OUT, rec)
 
 
 def _timing_inputs():
@@ -140,6 +120,7 @@ def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 2
 
     from ufm_tpu.eval import flow_metrics
     from ufm_tpu.models import UniFlowMatchConfidence
+    from ufm_tpu.models import tiled as tiled_mod
     from ufm_tpu.models.tiled import predict_correspondences_tiled
     from ufm_tpu.utils.example_pairs import (
         load_pair,
@@ -179,7 +160,7 @@ def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 2
         "tiled_acc_3px": round(tiled["acc_3px"], 4),
         "epe_improvement_x": round(coarse["epe"] / max(tiled["epe"], 1e-9), 2),
         "tiled_wall_s": round(tiled_s, 1),
-        "tile_stats": dict(__import__("ufm_tpu.models.tiled", fromlist=["x"]).last_tile_stats),
+        "tile_stats": dict(tiled_mod.last_tile_stats),
         "backend": jax.default_backend(),
         "note": (
             "trained model required: bench_convergence.py --save-checkpoint; "

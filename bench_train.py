@@ -17,7 +17,6 @@ transformer stacks if activations OOM.
 
 import json
 import os
-import subprocess
 import time
 
 import numpy as np
@@ -27,19 +26,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "bench_train.json")
 
 
-def _git_rev() -> str:
-    try:
-        return (
-            subprocess.run(
-                ["git", "-C", HERE, "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                timeout=10,
-            ).stdout.strip()
-            or "unknown"
-        )
-    except Exception:
-        return "unknown"
+from bench_record import git_rev as _git_rev
 
 
 def main():

@@ -10,7 +10,18 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU treats a collective rendezvous that misses its terminate timeout as
+# stuck and ABORTS the process (observed as a flaky "Fatal Python error:
+# Aborted" inside jax.Array._value on sharded-train tests). On a contended
+# single-core CI host, 8 virtual device threads can legitimately take minutes
+# to all reach the rendezvous; raise both timeouts well past any honest run.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_timeout_seconds=1200"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 

@@ -97,6 +97,14 @@ def test_cycle_consistency_metrics():
     m_cov = cycle_consistency_metrics(fwd, bad, covis)
     assert m_cov["cycle_coverage"] == pytest.approx(8 * 10 / (12 * 16))
 
+    # return_map: the per-pixel error map agrees with the scalar stats and is
+    # zeroed outside the scored region (the golden-image heatmap consumer)
+    m_map, err_map = cycle_consistency_metrics(fwd, bad, covis, return_map=True)
+    assert m_map == m_cov
+    assert err_map.shape == (12, 16)
+    assert err_map[:10, :8] == pytest.approx(3.0)
+    assert (err_map[:, 8:] == 0).all()  # unscored: covis-gated region
+
 
 def test_cycle_consistency_different_target_shape():
     """Backward flow defined on a differently-sized target grid is sampled at

@@ -115,15 +115,29 @@ def test_concurrent_requests_batched(server, rng):
     assert np.abs(flows[0] - flows[1]).max() > 0
 
 
+def test_predict_per_view_shapes(server, rng):
+    """Source and target may differ in resolution (the reference's real bike
+    pair is 1080x1080 vs 607x1080): each view resizes to the model grid
+    independently and the lane is keyed by the shape PAIR. Outputs stay in
+    the SOURCE frame."""
+    src = np.asarray(rng.integers(0, 255, (96, 96, 3)), dtype=np.uint8)
+    tgt = np.asarray(rng.integers(0, 255, (64, 112, 3)), dtype=np.uint8)
+    with _post(server, _npz_body(src, tgt), "application/x-npz") as r:
+        out = np.load(io.BytesIO(r.read()))
+    assert out["flow"].shape == (2, 96, 96)
+    assert out["covisibility"].shape == (96, 96)
+    assert np.isfinite(out["flow"]).all()
+
+
 def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server, b"not an npz", "application/x-npz")
     assert e.value.code in (400, 500)
 
     with pytest.raises(urllib.error.HTTPError) as e:
-        _post(server, _npz_body(np.zeros((4, 4, 3), np.uint8), np.zeros((5, 4, 3), np.uint8)), "application/x-npz")
+        _post(server, _npz_body(np.zeros((4, 4), np.uint8), np.zeros((5, 4, 3), np.uint8)), "application/x-npz")
     assert e.value.code == 400
-    assert "differ" in json.loads(e.value.read())["error"]
+    assert "HWC" in json.loads(e.value.read())["error"]
 
     with urllib.request.urlopen(_url(server, "/stats"), timeout=30) as r:
         stats = json.loads(r.read())

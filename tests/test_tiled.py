@@ -71,11 +71,20 @@ def test_tiled_constant_shift():
 
 
 def test_tiled_small_image_falls_back_to_coarse():
+    from ufm_tpu.models import tiled
+
     model = StubModel(2.0, 3.0)
+    # seed stale stats from a genuinely tiled call; the small-image early
+    # return must overwrite them, not leave the previous call's record
+    big = _position_image(96, 144)
+    predict_correspondences_tiled(model, big, big, overlap=0.5, max_batch=4)
+    assert tiled.last_tile_stats["tiles"] > 0
+
     src = _position_image(40, 60)  # smaller than model res: no tiling
     flow, covis = predict_correspondences_tiled(model, src, src)
     np.testing.assert_allclose(flow[..., 0], 2.0, atol=1e-3)
     np.testing.assert_allclose(flow[..., 1], 3.0, atol=1e-3)
+    assert tiled.last_tile_stats == {"tiles": 0, "tiles_rejected": 0, "gate_px": 0.0}
 
 
 class BadTileModel(StubModel):
@@ -105,3 +114,43 @@ def test_tiled_rejects_tiles_disagreeing_with_coarse():
     np.testing.assert_allclose(flow[..., 0], dx, atol=1e-3)
     np.testing.assert_allclose(flow[..., 1], dy, atol=1e-3)
     assert tiled.last_tile_stats["tiles_rejected"] == tiled.last_tile_stats["tiles"] > 0
+
+
+class LeftBadTileModel(StubModel):
+    """Wrong only on native-res tiles from the left edge of the source frame
+    (channel-0 mean < 48, i.e. tiles starting at x0=0): a PARTIAL-rejection
+    scenario where accepted and rejected tiles overlap."""
+
+    def predict_correspondences_batched(self, source_image, target_image, **kw):
+        out = super().predict_correspondences_batched(source_image, target_image, **kw)
+        src = np.asarray(source_image, dtype=np.float64)
+        if src.ndim == 3:
+            src = src[None]
+        if src.shape[1] == self.inference_resolution[0][1]:  # native-res tile call
+            bad = (src[..., 0].mean(axis=(1, 2)) < 48.0)[:, None, None, None]
+            out.flow = UFMFlowFieldOutput(
+                flow_output=out.flow.flow_output + 50.0 * jnp.asarray(bad)
+            )
+        return out
+
+
+def test_tiled_rejected_tiles_do_not_dilute_covisibility():
+    """A rejected tile's feather must not appear in the covisibility
+    normalizer: a pixel overlapped by one accepted and one rejected tile
+    keeps the accepted tile's covisibility (regression: the normalizer
+    summed ALL tiles' feathers, halving covis wherever rejected tiles
+    overlapped accepted ones)."""
+    from ufm_tpu.models import tiled
+
+    src = _position_image(96, 144)
+    model = LeftBadTileModel(7.0, -5.0)
+    flow, covis = predict_correspondences_tiled(model, src, src, overlap=0.5, max_batch=4)
+
+    stats = tiled.last_tile_stats
+    assert 0 < stats["tiles_rejected"] < stats["tiles"]  # genuinely partial
+    # the stub reports covisibility 1.0 everywhere; accepted-tile regions and
+    # the coarse fallback must both preserve it
+    assert (covis > 0.99).all()
+    # accepted (right-side) tiles still stitch the correct flow
+    np.testing.assert_allclose(flow[:, 96:, 0], 7.0, atol=1e-3)
+    np.testing.assert_allclose(flow[:, 96:, 1], -5.0, atol=1e-3)

@@ -281,11 +281,23 @@ def run_serve(args) -> None:
     from ufm_tpu.runtime.server import UFMServer
 
     source = args.artifact or args.checkpoint or ("random-init" if args.random_init else HUB_REPOS[args.model])
+    max_batch = args.max_batch
+    if args.artifact:
+        # .ufmx programs are fixed-shape: every lane batch is padded to
+        # max_batch, so a lane width other than the exported batch would make
+        # EVERY /v1/predict call fail at request time. Pin it at startup.
+        artifact_batch = int(getattr(getattr(model, "exported", None), "batch", max_batch))
+        if max_batch != artifact_batch:
+            print(
+                f"note: artifact was exported at fixed batch {artifact_batch}; "
+                f"using --max-batch {artifact_batch} (requested {max_batch})"
+            )
+            max_batch = artifact_batch
     server = UFMServer(
         model,
         host=args.host,
         port=args.port,
-        max_batch=args.max_batch,
+        max_batch=max_batch,
         max_delay_ms=args.max_delay_ms,
     )
     print(f"Serving {type(model).__name__} ({source}) at http://{args.host}:{args.port}")

@@ -68,7 +68,8 @@ def cycle_consistency_metrics(
     bwd_flow: np.ndarray,
     covis: Optional[np.ndarray] = None,
     covis_threshold: float = 0.5,
-) -> Dict[str, float]:
+    return_map: bool = False,
+):
     """Forward-backward consistency for pairs with no ground truth.
 
     ``fwd_flow``: (H, W, 2) flow mapping source pixel p to target coordinates
@@ -80,7 +81,10 @@ def cycle_consistency_metrics(
 
     cycle(p) = fwd(p) + bwd(p + fwd(p)) ≈ 0 for true correspondences; the
     backward flow is sampled bilinearly at the forward target coordinates.
-    Returns cycle-EPE statistics over the scored pixels plus coverage.
+    Returns cycle-EPE statistics over the scored pixels plus coverage; with
+    ``return_map=True`` returns ``(stats, err_map)`` where ``err_map`` is the
+    per-pixel cycle error ((H, W), zero at unscored pixels) — one
+    interpolator for both the printed stats and any rendered heatmap.
     """
     h, w = fwd_flow.shape[:2]
     th, tw = bwd_flow.shape[:2]
@@ -106,7 +110,7 @@ def cycle_consistency_metrics(
     out = {"cycle_coverage": float(scored.mean())}
     if not scored.any():
         out["cycle_epe"] = float("nan")
-        return out
+        return (out, np.zeros((h, w))) if return_map else out
     err = cycle_err[scored]
     out.update(
         {
@@ -116,7 +120,7 @@ def cycle_consistency_metrics(
             "cycle_acc_3px": float((err < 3.0).mean()),
         }
     )
-    return out
+    return (out, cycle_err * scored) if return_map else out
 
 
 def find_pairs(directory: str, require_gt: bool = True) -> Iterable[Tuple[str, str, Optional[str]]]:

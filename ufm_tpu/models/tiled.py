@@ -81,6 +81,8 @@ def predict_correspondences_tiled(
     coarse_covis = np.asarray(coarse.covisibility.mask[0]) if coarse.covisibility is not None else np.ones((sh, sw))
 
     if sh <= tile_h and sw <= tile_w:
+        last_tile_stats.clear()
+        last_tile_stats.update(tiles=0, tiles_rejected=0, gate_px=0.0)
         return coarse_flow.astype(np.float32), coarse_covis.astype(np.float32)
 
     # ---- 2. tile placement + batched fine pass -----------------------------
@@ -114,6 +116,7 @@ def predict_correspondences_tiled(
     flow_acc = np.zeros((sh, sw, 2), dtype=np.float64)
     cov_acc = np.zeros((sh, sw), dtype=np.float64)
     weight_acc = np.zeros((sh, sw), dtype=np.float64)
+    feath_only = np.zeros((sh, sw))  # pure feather weight of ACCEPTED tiles
     feather = _hann2d(tile_h, tile_w)
 
     # ---- 3. robust fusion bounds -------------------------------------------
@@ -151,15 +154,15 @@ def predict_correspondences_tiled(
             flow_acc[y0 : y0 + tile_h, x0 : x0 + tile_w] += abs_flow * wgt[..., None]
             cov_acc[y0 : y0 + tile_h, x0 : x0 + tile_w] += fine_cov[j] * feather
             weight_acc[y0 : y0 + tile_h, x0 : x0 + tile_w] += wgt
+            feath_only[y0 : y0 + tile_h, x0 : x0 + tile_w] += feather
 
     feather_acc = np.where(weight_acc > 0, weight_acc, 1.0)
     flow_fine = flow_acc / feather_acc[..., None]
     cov_norm = np.zeros_like(cov_acc)
     covered = weight_acc > 0
-    # covisibility normalized by pure feather weight (not cov-gated)
-    feath_only = np.zeros((sh, sw))
-    for x0, y0, _, _ in offsets:
-        feath_only[y0 : y0 + tile_h, x0 : x0 + tile_w] += feather
+    # covisibility normalized by the pure feather weight (not cov-gated) of
+    # the tiles that actually contributed — a rejected tile's feather must
+    # not dilute an accepted neighbor's covisibility where they overlap
     cov_norm[covered] = (cov_acc / np.where(feath_only > 0, feath_only, 1.0))[covered]
 
     # per-pixel soft gate: pull the fused result toward coarse as the

@@ -470,19 +470,13 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
 
         rev = model.predict_correspondences_batched(source_image=tgt, target_image=src)
         bwd = np.asarray(rev.flow.flow_output[0]).transpose(1, 2, 0)
-        m = cycle_consistency_metrics(flow, bwd, covis)
+        m, cyc = cycle_consistency_metrics(flow, bwd, covis, return_map=True)
         print(
             "Cycle consistency (no GT for real photos): "
             f"mean {m.get('cycle_epe', float('nan')):.3f} px, "
             f"median {m.get('cycle_epe_median', float('nan')):.3f} px "
             f"over {100 * m['cycle_coverage']:.1f}% of pixels"
         )
-        h, w = flow.shape[:2]
-        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
-        tx = np.clip(xs + flow[..., 0], 0, bwd.shape[1] - 1)
-        ty = np.clip(ys + flow[..., 1], 0, bwd.shape[0] - 1)
-        bwd_at_fwd = bwd[ty.round().astype(int), tx.round().astype(int)]
-        cyc = np.linalg.norm(flow + bwd_at_fwd, axis=-1) * (covis > 0.5)
         epe_rgb = _err_heatmap(cyc, 8.0)
 
     warped = warp_image_with_flow(src, None, tgt, flow).astype(np.float32)

@@ -108,10 +108,12 @@ def export_model(
         """Force the XLA kernel paths while tracing a multi-platform export.
 
         Pallas/Mosaic kernels lower only on TPU; without this a
-        ``platforms=("cpu","tpu")`` export on a TPU host fails with an opaque
-        Mosaic lowering error (or worse, a CPU-unusable artifact). The env
-        overrides are restored afterwards (ADVICE r3)."""
-        if not plats or len(plats) <= 1:
+        ``platforms=("cpu","tpu")`` export on a TPU host — or a CPU-only
+        export from a TPU host, where the default kernel impl is still
+        Pallas — fails with an opaque Mosaic lowering error (or worse,
+        produces a CPU-unusable artifact). The env overrides are restored
+        afterwards (ADVICE r3)."""
+        if not plats or set(plats) == {jax.default_backend()}:
             yield
             return
         from ufm_tpu.ops import attention as _attn

@@ -126,11 +126,15 @@ class UFMServer:
             return lane
 
     def predict(self, source: np.ndarray, target: np.ndarray) -> Dict[str, np.ndarray]:
-        if source.shape != target.shape:
-            raise ValueError(f"source/target shapes differ: {source.shape} vs {target.shape}")
-        if source.ndim != 3 or source.shape[-1] != 3:
-            raise ValueError(f"expected HWC RGB images, got shape {source.shape}")
-        fut = self._lane(tuple(source.shape)).infer(source, target)
+        for name, img in (("source", source), ("target", target)):
+            if img.ndim != 3 or img.shape[-1] != 3:
+                raise ValueError(f"expected HWC RGB {name} image, got shape {img.shape}")
+        # source and target may differ in resolution (the reference's real
+        # bike pair is 1080x1080 vs 607x1080): each view is resized to the
+        # model grid independently, so lanes are keyed by the shape PAIR —
+        # one static batch shape per lane either way
+        key = tuple(source.shape) + tuple(target.shape)
+        fut = self._lane(key).infer(source, target)
         return fut.result(timeout=300.0)
 
     # -- HTTP --------------------------------------------------------------

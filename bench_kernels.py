@@ -84,6 +84,64 @@ def bench_attention():
     return out
 
 
+def bench_attention_bwd():
+    """Attention forward+backward at the flagship TRAINING shapes (b2):
+    Pallas flash backward vs the XLA einsum VJP it replaces (VERDICT r4 #1).
+    Reported FLOPs are fwd (4·B·H·S²·D, once) + bwd (10·B·H·S²·D: recompute
+    + 4 gradient matmuls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ufm_tpu.ops import flash_attention as fa
+
+    shapes = [
+        ("train-encoder (2B=4, S1200, H16, D64)", (4, 1200, 16, 64)),
+        ("train-infoshare (2, S2400, H12, D64)", (2, 2400, 12, 64)),
+    ]
+    modes = sys.argv[2:] if len(sys.argv) > 2 else ["pallas", "xla"]
+    out = {}
+    for label, (b, s, h, d) in shapes:
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+        flops = (4 + 10) * b * h * s * s * d
+        for mode in modes:
+            os.environ["UFM_ATTN_BWD"] = mode
+
+            def make_scan(n):
+                def loss(q_, k_, v_):
+                    o = fa.flash_attention(q_, k_, v_)
+                    return jnp.sum(o[:, ::311, 0, 0].astype(jnp.float32))
+
+                grad = jax.grad(loss, argnums=(0, 1, 2))
+
+                @jax.jit
+                def run():
+                    def body(carry, _):
+                        # keep the perturbation in q's dtype: the f32 carry
+                        # would otherwise promote the whole measurement to f32
+                        dq, dk, dv = grad(q + (carry * 1e-12).astype(q.dtype), k, v)
+                        return jnp.sum(dq[:, ::311, 0, 0].astype(jnp.float32)), None
+
+                    acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+                    return acc
+
+                return run
+
+            try:
+                sec = onchip_seconds(make_scan)
+                tflops = flops / sec / 1e12
+                out[f"{label} [bwd={mode}]"] = {"ms": round(sec * 1e3, 3), "TFLOPS": round(tflops, 1)}
+                print(f"{label} [bwd={mode}]: {sec*1e3:.3f} ms  {tflops:.1f} TFLOPS", flush=True)
+            except Exception as e:  # noqa: BLE001
+                out[f"{label} [bwd={mode}]"] = f"FAILED: {type(e).__name__}: {str(e)[:160]}"
+                print(out[f"{label} [bwd={mode}]"], flush=True)
+            finally:
+                os.environ.pop("UFM_ATTN_BWD", None)
+    return out
+
+
 def bench_window():
     import jax
     import jax.numpy as jnp
@@ -133,6 +191,8 @@ def main():
     results = {}
     if which in ("attn", "all"):
         results["attention"] = bench_attention()
+    if which in ("attnbwd", "all"):
+        results["attention_bwd"] = bench_attention_bwd()
     if which in ("window", "all"):
         results["window"] = bench_window()
     print(json.dumps(results, indent=1))

@@ -26,6 +26,60 @@ def git_rev() -> str:
         return "unknown"
 
 
+# Paths whose commits invalidate cached sub-benchmark records. Docs/record
+# commits (VERDICT, BENCH_*.json, the driver's end-of-round snapshot) do not.
+CODE_PATHS = ("ufm_tpu", "native")
+
+
+def code_rev() -> str:
+    """Short rev of the last commit that touched runtime code (CODE_PATHS)."""
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", HERE, "log", "-1", "--format=%h", "--", *CODE_PATHS],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def rev_is_fresh(record_rev: str) -> bool:
+    """True iff no runtime-code commit landed after ``record_rev``.
+
+    A cached sub-record measured at rev R is still valid when every commit
+    after R touched only docs/records — i.e. the last code commit is an
+    ancestor of (or equal to) R. Strict HEAD equality would be wrong here:
+    the driver's end-of-round snapshot commit always advances HEAD past the
+    rev the sub-benches ran at (VERDICT r4 weak #1 / next #2).
+    """
+    if not record_rev or record_rev == "unknown":
+        return False
+    last_code = code_rev()
+    if last_code == "unknown":
+        return False
+    try:
+        return (
+            subprocess.run(
+                ["git", "-C", HERE, "merge-base", "--is-ancestor", last_code, record_rev],
+                capture_output=True, timeout=10,
+            ).returncode == 0
+        )
+    except Exception:
+        return False
+
+
+def stamp_freshness(rec: dict, name: str) -> dict:
+    """Mark a cached sub-record stale when runtime code changed since it ran."""
+    if isinstance(rec, dict) and not rev_is_fresh(rec.get("git_rev", "")):
+        rec["stale_rev"] = True
+        rec["stale_reason_rev"] = (
+            f"measured at rev {rec.get('git_rev')!r} but runtime code changed since "
+            f"(last code commit {code_rev()}); rerun {name}"
+        )
+    return rec
+
+
 def load_rec(path: str) -> dict:
     if os.path.exists(path):
         with open(path) as f:

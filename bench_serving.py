@@ -284,6 +284,126 @@ def bench_refine_e2e():
     print(json.dumps(rec["refine_e2e"]), flush=True)
 
 
+def bench_server_http():
+    """The HTTP daemon under concurrent load (VERDICT r4 #4).
+
+    N threaded clients posting npz pairs at `ufm serve`'s /v1/predict with
+    max_batch=4 lanes: sustained pairs/s, per-request HTTP p50, and the C++
+    continuous batcher's mean batch occupancy from /stats — the coalescing
+    path demonstrated end-to-end rather than only via in-process drivers.
+    Comparand: the full-transfer `stream` record (both move ~18 MB of
+    images per batch through the session tunnel; the device-staged records
+    measure the chip with transfer off the critical path)."""
+    import http.client
+    import io
+    import threading
+
+    from ufm_tpu.models import UniFlowMatch, ufm_base_config
+    from ufm_tpu.runtime.server import UFMServer
+
+    clients = int(os.environ.get("UFM_BENCH_CLIENTS", "8"))
+    reqs_each = int(os.environ.get("UFM_BENCH_REQS", "8"))
+    max_batch = int(os.environ.get("UFM_BENCH_MAXBATCH", "4"))
+    h, w = 420, 560
+
+    model = UniFlowMatch.from_config(ufm_base_config())
+    # one lane (single input-shape pair); max_delay long enough that a lane
+    # dispatch under tunnel latency (~30 ms RTT) can coalesce queued peers
+    srv = UFMServer(model, port=0, max_batch=max_batch, max_delay_ms=15.0)
+    srv.start()
+
+    rng = np.random.default_rng(0)
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        source=rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+        target=rng.integers(0, 255, (h, w, 3), dtype=np.uint8),
+    )
+    body = buf.getvalue()
+
+    def post_one(conn):
+        conn.request("POST", "/v1/predict", body=body, headers={"Content-Type": "application/x-npz"})
+        resp = conn.getresponse()
+        data = resp.read()
+        assert resp.status == 200, data[:200]
+        with np.load(io.BytesIO(data)) as z:
+            assert z["flow"].shape == (2, h, w)
+
+    try:
+        # compile the lane's single padded-batch program off the clock
+        warm = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        post_one(warm)
+        warm.close()
+
+        latencies = []
+        lat_lock = threading.Lock()
+        errors = []
+
+        def client_loop():
+            try:
+                conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+                for _ in range(reqs_each):
+                    t0 = time.perf_counter()
+                    post_one(conn)
+                    dt = time.perf_counter() - t0
+                    with lat_lock:
+                        latencies.append(dt)
+                conn.close()
+            except Exception as e:  # noqa: BLE001 — surface in the record
+                errors.append(f"{type(e).__name__}: {e}")
+
+        threads = [threading.Thread(target=client_loop) for _ in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert not errors, errors[:3]
+
+        stats = json.loads(
+            _get_json(srv.host, srv.port, "/stats")
+        )
+        lane_stats = next(iter(stats.values())) if stats else {}
+        done = len(latencies)
+        rec = _load_rec()
+        rec["server_http"] = {
+            "clients": clients,
+            "requests": done,
+            "max_batch": max_batch,
+            "pairs_per_sec_sustained": round(done / wall, 2),
+            "p50_ms_http": round(float(np.median(latencies)) * 1e3, 1),
+            "p90_ms_http": round(float(np.percentile(latencies, 90)) * 1e3, 1),
+            "mean_batch_occupancy": round(float(lane_stats.get("mean_batch_size", 0.0)), 2),
+            "batches": lane_stats.get("batches"),
+            "note": (
+                "threaded clients -> stdlib HTTP -> C++ continuous batcher -> "
+                "full predict pipeline; tunnel-inclusive like the `stream` record"
+            ),
+            "device": _device_str(),
+        }
+        _save_rec(rec)
+        print(json.dumps(rec["server_http"]), flush=True)
+    finally:
+        srv.close()
+
+
+def _get_json(host: str, port: int, path: str) -> str:
+    import http.client
+
+    conn = http.client.HTTPConnection(host, port, timeout=60)
+    conn.request("GET", path)
+    out = conn.getresponse().read().decode("utf-8")
+    conn.close()
+    return out
+
+
+def _device_str() -> str:
+    import jax
+
+    return str(jax.devices()[0])
+
+
 def main():
     from bench import enable_compile_cache
 
@@ -297,6 +417,8 @@ def main():
         bench_stream_device_refine()
     if which in ("refine_e2e", "all"):
         bench_refine_e2e()
+    if which in ("server_http", "all"):
+        bench_server_http()
 
 
 if __name__ == "__main__":

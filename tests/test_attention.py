@@ -124,6 +124,122 @@ def test_flash_attention_bf16_gradients_near_fp32():
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gx), rtol=0.1, atol=0.05, err_msg=name)
 
 
+@pytest.mark.parametrize(
+    "b,s,h,d",
+    [
+        (1, 72, 2, 16),  # single q block, padded keys
+        (1, 300, 2, 64),  # multi q block at forced block_q=128: dk/dv accumulate
+        (2, 130, 3, 32),  # batch*heads grid, padded keys
+    ],
+)
+def test_pallas_backward_matches_xla_backward(b, s, h, d, monkeypatch):
+    """The Pallas flash backward (scores recomputed in VMEM, dk/dv
+    accumulated across Q blocks) against the XLA einsum VJP it replaces
+    (VERDICT r4 next #1). Forced small block_q so the accumulation path is
+    exercised even at test sizes."""
+    from ufm_tpu.ops import flash_attention as fa
+
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+    g = jax.random.normal(kg, (b, s, h, d), dtype=jnp.float32)
+    scale = d**-0.5
+
+    monkeypatch.setattr(fa, "_bwd_block_q", lambda *a: 128)
+    got = fa._flash_attention_bwd_impl(q, k, v, g, scale=scale, interpret=True)
+    ref = fa._xla_attention_bwd(scale, (q, k, v), g)
+    for gp, gx, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_backward_bf16_matches_xla_backward():
+    """bf16 training dtype: kernel operands are cast to the input dtype with
+    fp32 accumulation — the same rounding XLA applies inside its fused
+    matmuls at DEFAULT precision, so both VJPs agree to bf16 noise."""
+    from ufm_tpu.ops import flash_attention as fa
+
+    key = jax.random.PRNGKey(13)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, s, h, d = 1, 200, 2, 64
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.bfloat16)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.bfloat16)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.bfloat16)
+    g = jax.random.normal(kg, (b, s, h, d), dtype=jnp.bfloat16)
+    scale = d**-0.5
+
+    got = fa._flash_attention_bwd_impl(q, k, v, g, scale=scale, interpret=True)
+    ref = fa._xla_attention_bwd(scale, (q, k, v), g)
+    for gp, gx, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(gp, np.float32), np.asarray(gx, np.float32),
+            rtol=5e-2, atol=5e-2, err_msg=name,
+        )
+
+
+def test_backward_routing():
+    """SPMD tracing must keep the XLA einsum VJP (GSPMD-partitionable; a
+    Pallas backward would need its own per-call-site custom_partitioning,
+    measured ~100x compile blowup) while the plain path defaults to the
+    Pallas backward, overridable via UFM_ATTN_BWD."""
+    import os
+
+    from ufm_tpu.ops.flash_attention import _bwd_mode
+
+    assert _bwd_mode(use_spmd=True) == "xla"
+    assert _bwd_mode(use_spmd=False) == "pallas"
+    os.environ["UFM_ATTN_BWD"] = "xla"
+    try:
+        assert _bwd_mode(use_spmd=False) == "xla"
+    finally:
+        del os.environ["UFM_ATTN_BWD"]
+
+
+def test_backward_vmem_guard_falls_back():
+    """A backward whose K/V + accumulators exceed VMEM must take the XLA VJP
+    (correct at any length) rather than the Pallas kernel."""
+    from ufm_tpu.ops import flash_attention as fa
+
+    key = jax.random.PRNGKey(17)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, s, h, d = 1, 96, 2, 32
+    q = jax.random.normal(kq, (b, s, h, d), dtype=jnp.float32)
+    k = jax.random.normal(kk, (b, s, h, d), dtype=jnp.float32)
+    v = jax.random.normal(kv, (b, s, h, d), dtype=jnp.float32)
+    cot = jax.random.normal(kg, (b, s, h, d), dtype=jnp.float32)
+    scale = d**-0.5
+
+    def loss(q_, k_, v_):
+        return jnp.sum(flash_attention(q_, k_, v_, scale=scale, interpret=True) * cot)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    calls = []
+    orig = fa._flash_attention_bwd_impl
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    fa._flash_attention_bwd_impl = spy
+    budget = fa._vmem_budget_bytes
+    # forward guard needs ~0.5 MB at these shapes; backward needs more — pick
+    # a budget between the two so only the backward falls back
+    fwd_need = fa._vmem_bytes_estimate(128, d, 128, 4)
+    bwd_need = fa._bwd_vmem_bytes_estimate(128, d, 128, 4)
+    assert fwd_need < bwd_need
+    fa._vmem_budget_bytes = lambda: (fwd_need + bwd_need) // 2
+    try:
+        g_fb = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa._vmem_budget_bytes = budget
+        fa._flash_attention_bwd_impl = orig
+    assert not calls, "backward must take the XLA fallback under VMEM pressure"
+    for a_, b_, name in zip(g_fb, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_spmd_wrapper_threads_variant():
     """The custom_partitioning SPMD wrapper must forward the kernel-variant
     argument (round-3 review finding: it used to drop it, silently running

@@ -32,6 +32,8 @@ REQUIRED_KEYS = [
     "tiled_1080p_wall_s",
     "tpu_anchor_ok",
     "export_max_flow_delta_px",
+    # BASELINE.md bars adjudicated in-record (VERDICT r4 next #5)
+    "meets_targets",
     # provenance
     "git_rev",
     "device",
@@ -65,6 +67,11 @@ def _full_record():
         "tiled_1080p": {"wall_s_median": 5.817, "tiles": 20},
         "tpu_anchor": {"ok": True, "max_delta": 0.0, "atol": 1e-4},
         "export": {"base": {"fp32": {"max_flow_delta_px_vs_live": 0.061}}},
+        "meets_targets": {
+            "throughput_vs_torch_cpu": {"target": ">=10x", "measured_x": 894.7, "pass": True},
+            "p50_latency_560x420": {"target_ms": 50.0, "measured_onchip_ms": 28.43, "pass": True},
+            "flow_parity_vs_reference_semantics": {"target_px": 0.1, "measured_px": 0.061, "pass": True},
+        },
     }
 
 
@@ -108,3 +115,53 @@ def test_compact_suppresses_stale_subrecords_and_survives_missing_ones():
     assert compact["tpu_anchor_ok"] is None
     # headline fields unaffected
     assert compact["value"] == 31.668
+
+
+def test_compact_suppresses_rev_stale_subrecords():
+    """A sub-record measured before the last runtime-code commit must not be
+    republished as current (VERDICT r4 weak #1 / next #2)."""
+    rec = _full_record()
+    rec["refine"]["stale_rev"] = True
+    rec["tiled_1080p"]["stale_rev"] = True
+    rec["export"]["stale_rev"] = True
+    compact = build_compact(rec)
+    assert compact["refine_pairs_per_sec"] is None
+    assert compact["tiled_1080p_wall_s"] is None
+    assert compact["export_max_flow_delta_px"] is None
+    # fresh sub-records unaffected
+    assert compact["train_step_ms_onchip"] == 359.0
+
+
+def test_compact_carries_target_adjudication():
+    compact = build_compact(_full_record())
+    assert compact["meets_targets"] == {
+        "throughput_vs_torch_cpu": True,
+        "p50_latency_560x420": True,
+        "flow_parity_vs_reference_semantics": True,
+    }
+
+
+def test_rev_freshness_against_real_history():
+    """rev_is_fresh: fresh at HEAD, stale for unknown revs and for revs that
+    predate the last runtime-code commit (uses the repo's actual history)."""
+    import subprocess
+
+    from bench_record import HERE, code_rev, git_rev, rev_is_fresh, stamp_freshness
+
+    assert rev_is_fresh(git_rev()), "a record measured at HEAD must be fresh"
+    assert not rev_is_fresh("unknown")
+    assert not rev_is_fresh("")
+
+    # the parent of the last code commit predates it -> stale
+    parent = subprocess.run(
+        ["git", "-C", HERE, "rev-parse", "--short", f"{code_rev()}^"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip()
+    if parent:
+        assert not rev_is_fresh(parent)
+        stamped = stamp_freshness({"git_rev": parent, "x": 1}, "bench_x.py")
+        assert stamped["stale_rev"] is True
+        assert "bench_x.py" in stamped["stale_reason_rev"]
+
+    fresh = stamp_freshness({"git_rev": git_rev(), "x": 1}, "bench_x.py")
+    assert "stale_rev" not in fresh

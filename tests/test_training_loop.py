@@ -60,6 +60,28 @@ def test_remat_matches_plain_gradients(tiny_net_params, mode):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
+def test_pallas_attention_backward_matches_xla_through_model(tiny_net_params, monkeypatch):
+    """Full-model training gradients with the Pallas flash backward vs the
+    XLA einsum VJP (VERDICT r4 next #1): the kernel swap must not move the
+    loss gradient beyond matmul-rounding noise."""
+    net, params = tiny_net_params
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(2, 42, 56, seed=5).items()}
+
+    def grads():
+        def loss_fn(pp):
+            out = net.apply({"params": pp}, batch["img1"], batch["img2"])
+            return jnp.mean((out["flow"] - batch["gt_flow"]) ** 2)
+
+        return jax.grad(loss_fn)(params)
+
+    monkeypatch.setenv("UFM_ATTN_BWD", "pallas")
+    g_pallas = grads()
+    monkeypatch.setenv("UFM_ATTN_BWD", "xla")
+    g_xla = grads()
+    for a, b in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
+
+
 def test_fit_checkpoint_resume(tmp_path, tiny_net_params):
     pytest.importorskip("orbax.checkpoint")
     net, params = tiny_net_params

@@ -327,7 +327,7 @@ def _flash_attention_fwd(q, k, v, scale, block_q, interpret, use_spmd, variant):
     return out, (q, k, v)
 
 
-def _flash_attention_bwd(scale, block_q, interpret, use_spmd, variant, residuals, g):
+def _xla_attention_bwd(scale, residuals, g):
     # Exact softmax-attention VJP as XLA einsums, fp32 operands. An
     # "operands stay in input dtype" variant (explicit bf16 casts of p/ds +
     # preferred_element_type=f32) was built and measured 498-504 vs 383 ms on
@@ -346,6 +346,196 @@ def _flash_attention_bwd(scale, block_q, interpret, use_spmd, variant, residuals
     dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale
     dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale, valid_len):
+    """Flash-attention backward: one Q block against the full K/V slice.
+
+    Recomputes the probability tile in VMEM (scores never touch HBM — the
+    XLA VJP materializes four (B, H, S, S) fp32 tensors per layer there,
+    ~370 MB × 4 × 24 layers of traffic at the flagship's training shapes)
+    and accumulates dk/dv across Q blocks in fp32 output blocks that stay
+    VMEM-resident over the inner grid dimension.
+
+    Matmul operands are cast to the input dtype with fp32 accumulation —
+    identical rounding to what XLA applies inside its fused matmuls at
+    DEFAULT precision, so gradients match the XLA VJP to reassociation-level
+    drift (pinned by tests/test_attention.py).
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]  # (S, D)
+    g = g_ref[0]  # (BQ, D)
+
+    # recompute the forward's probability tile (same masking semantics)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    s_pad = k.shape[0]
+    if valid_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (BQ, S) fp32
+
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, S) fp32
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)  # grad wrt scaled logits, fp32
+
+    ds_c = ds.astype(q.dtype)
+    p_c = p.astype(q.dtype)
+
+    dq_ref[0] = (
+        jax.lax.dot_general(
+            ds_c, k, dimension_numbers=(((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    ).astype(dq_ref.dtype)
+
+    # dk/dv accumulate over Q blocks: their index map pins block (i, 0, 0),
+    # so the fp32 accumulator stays in VMEM across the inner grid dim
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += (
+        jax.lax.dot_general(
+            ds_c, q, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    dv_ref[0] += jax.lax.dot_general(
+        p_c, g, dimension_numbers=(((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _bwd_stack_bytes_estimate(sk_pad: int, block_q: int) -> int:
+    """Mosaic scoped-stack footprint of the kernel's fp32 intermediates:
+    ~5 live (block_q, sk_pad) tiles (scores→p, dp, ds, and the input-dtype
+    casts of p/ds). Measured 4.13 tiles at (512, 2432) fp32 — 5 is margin.
+    These live on the scoped-VMEM *stack*, a separate (default 16 MB) arena
+    from the pipelined block windows, and are what actually bounds block_q."""
+    return 5 * block_q * sk_pad * 4
+
+
+def _bwd_vmem_bytes_estimate(sk_pad: int, d: int, block_q: int, itemsize: int) -> int:
+    """Worst-case VMEM residency of one backward grid step: K/V slices +
+    fp32 dk/dv accumulators + Q/G/dQ blocks (×2 pipeline buffers) and the
+    fp32 score/probability/dp/ds tiles."""
+    kv = 2 * sk_pad * d * itemsize * 2
+    dkdv = 2 * sk_pad * d * 4
+    qg = 3 * block_q * d * max(itemsize, 4) * 2
+    return kv + dkdv + qg + _bwd_stack_bytes_estimate(sk_pad, block_q)
+
+
+def _bwd_block_q(sk_pad: int, d: int, itemsize: int) -> int:
+    """Largest lane-aligned Q block whose backward step fits both the total
+    VMEM budget and the scoped-stack arena the fp32 tiles allocate from
+    (pallas_call raises that arena to half of `_vmem_budget_bytes()`)."""
+    budget = _vmem_budget_bytes()
+    stack_budget = budget // 2
+    bq = 512
+    while bq > _LANE and (
+        _bwd_vmem_bytes_estimate(sk_pad, d, bq, itemsize) > budget
+        or _bwd_stack_bytes_estimate(sk_pad, bq) > stack_budget
+    ):
+        bq //= 2
+    return bq
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_attention_bwd_impl(q, k, v, g, *, scale: float, interpret: bool):
+    """(B, S, H, D) gradients via the Pallas backward kernel."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+
+    def pad_to(x, m):
+        r = (-x.shape[1]) % m
+        if r:
+            x = jnp.pad(x, ((0, 0), (0, r), (0, 0), (0, 0)))
+        return x
+
+    sk_pad = ((sk + _LANE - 1) // _LANE) * _LANE
+    block_q = _bwd_block_q(sk_pad, d, q.dtype.itemsize)
+    block_q = min(block_q, max(_LANE, ((sq + _LANE - 1) // _LANE) * _LANE))
+    qp, gp = pad_to(q, block_q), pad_to(g.astype(q.dtype), block_q)
+    kp, vp = pad_to(k, _LANE), pad_to(v, _LANE)
+    sq_pad = qp.shape[1]
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
+
+    qf, kf, vf, gf = fold(qp), fold(kp), fold(vp), fold(gp)
+    num_q_blocks = sq_pad // block_q
+
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale, valid_len=sk)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b * h, num_q_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sq_pad * sk_pad * d,
+            bytes_accessed=2 * (qf.size + kf.size + vf.size + gf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * sq_pad * sk_pad,
+        ),
+        # the fp32 score/p/dp/ds tiles allocate from Mosaic's scoped-VMEM
+        # stack, whose default arena (16 MB) is far below what the chip has;
+        # raise it to the budget _bwd_block_q sizes against
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_vmem_budget_bytes()),
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+
+    def unfold(x, s_orig, s_padded):
+        return x.reshape(b, h, s_padded, d).transpose(0, 2, 1, 3)[:, :s_orig]
+
+    return (
+        unfold(dq, sq, sq_pad),
+        unfold(dk, sk, sk_pad).astype(k.dtype),
+        unfold(dv, sk, sk_pad).astype(v.dtype),
+    )
+
+
+def _bwd_mode(use_spmd: bool) -> str:
+    """"pallas" (default) or "xla". The SPMD path keeps the XLA einsum VJP:
+    GSPMD partitions it natively, while a Pallas backward would need its own
+    custom_partitioning wrapper per call site — measured ~100x compile-time
+    blowup on the remote-compile path (see the spmd_kernels docstring)."""
+    import os
+
+    if use_spmd:
+        return "xla"
+    return os.environ.get("UFM_ATTN_BWD", "pallas")
+
+
+def _flash_attention_bwd(scale, block_q, interpret, use_spmd, variant, residuals, g):
+    q, k, v = residuals
+    sk_pad = ((k.shape[1] + _LANE - 1) // _LANE) * _LANE
+    fits = _bwd_vmem_bytes_estimate(
+        sk_pad, q.shape[3], _LANE, q.dtype.itemsize
+    ) <= _vmem_budget_bytes()
+    if _bwd_mode(use_spmd) == "pallas" and fits:
+        return _flash_attention_bwd_impl(q, k, v, g, scale=scale, interpret=interpret)
+    return _xla_attention_bwd(scale, residuals, g)
 
 
 _flash_attention_vjp.defvjp(_flash_attention_fwd, _flash_attention_bwd)

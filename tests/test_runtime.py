@@ -123,6 +123,7 @@ def test_stream_predict_staged_matches_monolithic():
     np.testing.assert_allclose(values, np.arange(7, dtype=np.float32) + 1.0)
 
 
+@pytest.mark.slow
 def test_stream_predict_staged_on_tiny_refine_model(rng):
     """End-to-end: the tiny refine variant's real staged programs through the
     staged streaming driver equal the monolithic forward per pair."""

@@ -19,6 +19,9 @@ import pytest
 from ufm_tpu.models import UniFlowMatchConfidence, ufm_tiny_config
 from ufm_tpu.runtime.server import UFMServer
 
+# live-daemon heavyweights: excluded from the quick lane (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def server():

@@ -32,6 +32,7 @@ def test_fit_reduces_loss(tiny_net_params):
     assert np.isfinite(float(out["metrics"]["total_loss"]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", [True, "encoder"])
 def test_remat_matches_plain_gradients(tiny_net_params, mode):
     """train_remat (both-stacks True and the partial "encoder" mode) must
@@ -82,6 +83,7 @@ def test_pallas_attention_backward_matches_xla_through_model(tiny_net_params, mo
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fit_checkpoint_resume(tmp_path, tiny_net_params):
     pytest.importorskip("orbax.checkpoint")
     net, params = tiny_net_params

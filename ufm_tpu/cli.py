@@ -115,7 +115,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Serve randomly initialized weights (daemon smoke test; zero-egress environments)",
     )
-    srv.add_argument("--max-batch", type=int, default=1, help="Continuous-batching lane width")
+    srv.add_argument(
+        "--max-batch",
+        type=int,
+        default=4,
+        help="Continuous-batching lane width (short batches are padded to this, "
+        "so the device sees one static shape; 1 disables coalescing)",
+    )
     srv.add_argument(
         "--max-delay-ms", type=float, default=3.0, help="Batching window before dispatch"
     )

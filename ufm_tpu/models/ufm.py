@@ -459,10 +459,12 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
         rgb = np.stack([np.full_like(vis, 1.0), 1.0 - vis, 1.0 - vis], axis=-1)
         return (rgb * 255).astype(np.uint8)
 
+    stats = {}
     if gt is not None:
         epe = np.linalg.norm(flow - gt, axis=-1)
         print(f"EPE vs analytic ground truth: mean {epe.mean():.3f} px, p90 {np.percentile(epe, 90):.3f} px")
         epe_rgb = _err_heatmap(epe, 8.0)
+        stats = {"epe_mean_px": float(epe.mean()), "epe_p90_px": float(np.percentile(epe, 90))}
     else:
         # real photo pair: no GT exists, so the quantitative cell is the
         # forward-backward cycle error over the model's covisibility mask
@@ -478,6 +480,7 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
             f"over {100 * m['cycle_coverage']:.1f}% of pixels"
         )
         epe_rgb = _err_heatmap(cyc, 8.0)
+        stats = {k: float(v) for k, v in m.items()}
 
     warped = warp_image_with_flow(src, None, tgt, flow).astype(np.float32)
     alpha = covis[..., None]
@@ -491,7 +494,16 @@ def _golden_image_main(argv: Optional[List[str]] = None) -> str:
     bottom = np.concatenate([covis_rgb, composite, epe_rgb], axis=1)
     panel = np.concatenate([top, bottom], axis=0)
     cv2.imwrite(args.output, cv2.cvtColor(panel, cv2.COLOR_RGB2BGR))
-    print(f"Wrote {args.output} ({panel.shape[1]}x{panel.shape[0]}). "
+    # quantitative sidecar: the committed expected panel's numbers, so the
+    # golden check compares statistics rather than eyeballs (the reference
+    # commits examples/example_ufm_output.png and instructs a visual compare
+    # — reference README.md:71-78; this is the machine-checkable version)
+    import json as _json
+
+    stats.update({"pair": args.pair, "panel_wh": [int(panel.shape[1]), int(panel.shape[0])]})
+    with open(args.output + ".json", "w") as f:
+        _json.dump(stats, f, indent=1)
+    print(f"Wrote {args.output} ({panel.shape[1]}x{panel.shape[0]}) + stats sidecar. "
           "With a real checkpoint, verify the flow/warp panels are coherent and EPE is small.")
     return args.output
 

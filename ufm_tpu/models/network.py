@@ -60,6 +60,14 @@ from ufm_tpu.ops.refinement import fused_refinement_attention
 
 __all__ = ["UFMNet", "CLASSNAME_TO_ADAPTOR_CLASS", "interleave", "is_symmetrized"]
 
+
+def _monolithic_barrier_enabled() -> bool:
+    """UFM_REFINE_BARRIER=0 disables the backbone→tail optimization barrier
+    in the monolithic refine graph (A/B knob; see __call__)."""
+    import os
+
+    return os.environ.get("UFM_REFINE_BARRIER", "1") != "0"
+
 # Mirrors reference ufm.py:37-43.
 CLASSNAME_TO_ADAPTOR_CLASS = {
     "FlowWithConfidenceAdaptor": FlowWithConfidenceAdaptor,
@@ -229,6 +237,16 @@ class UFMNet(nn.Module):
         """img1/img2: (B, H, W, 3) normalized. Returns a flat output dict."""
         out = self.backbone(img1, img2, symmetrized)
         if self.cfg.has_classification_head:
+            if _monolithic_barrier_enabled():
+                # Scheduling barrier at the backbone→tail seam. The staged
+                # two-dispatch pipeline (models/base.py) runs these halves
+                # ~2.5× faster than the single fused graph (BENCH_NOTES.md:
+                # stage sum ~160 ms vs fused ~395 ms/b2); the barrier stops
+                # XLA from interleaving tail fusions into the backbone
+                # schedule inside the monolithic graph, recovering staged-
+                # like behavior for callers that need one dispatch (e.g.
+                # training the refine variant end-to-end).
+                out = jax.lax.optimization_barrier(out)
             out.update(
                 self.refine_tail(img1, img2, out["flow"], out.pop("cls_in_0"), out.pop("cls_in_1"))
             )

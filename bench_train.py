@@ -55,12 +55,16 @@ def main():
         cfg = dataclasses.replace(
             cfg,
             train_remat="encoder" if remat_env == "encoder" else True,
-            # Default: save matmul outputs, recompute only elementwise work.
-            # Measured B/A/B on the v5e flagship at b2: 359.1/363.9 ms vs
-            # 385.3 full-remat (~6.5% faster), fits HBM with donation.
+            # Default: save matmul outputs AND the tagged flash-attention
+            # core outputs; recompute only elementwise work. Measured B/A/B
+            # on the v5e flagship at b2 (round 5): 275.3/282.7 ms for the
+            # dots-only policy vs 267.3 with +attn_out (~3-5% faster; the
+            # backward skips the per-layer flash-forward recompute), both
+            # far ahead of 385.3 full-remat. Fits HBM with donation.
             # UFM_TRAIN_REMAT_POLICY= (empty) restores full remat.
             train_remat_policy=os.environ.get(
-                "UFM_TRAIN_REMAT_POLICY", "dots_with_no_batch_dims_saveable"
+                "UFM_TRAIN_REMAT_POLICY",
+                "dots_with_no_batch_dims_and_attn_out_saveable",
             )
             or None,
         )

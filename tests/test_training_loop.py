@@ -102,7 +102,16 @@ def test_fit_checkpoint_resume(tmp_path, tiny_net_params):
     assert out2["step"] == 6
 
 
-def test_remat_policy_matches_plain_gradients(tiny_net_params):
+@pytest.mark.parametrize(
+    "policy",
+    [
+        "dots_with_no_batch_dims_saveable",
+        # composite: also saves the checkpoint_name-tagged flash-attention
+        # core output so the backward skips the attention-forward recompute
+        "dots_with_no_batch_dims_and_attn_out_saveable",
+    ],
+)
+def test_remat_policy_matches_plain_gradients(tiny_net_params, policy):
     """train_remat_policy (jax.checkpoint_policies member) must change only
     the memory/recompute trade, not numerics — and an unknown policy name
     must fail loudly (nn/layers.py::resolve_remat_policy)."""
@@ -110,9 +119,7 @@ def test_remat_policy_matches_plain_gradients(tiny_net_params):
 
     net, params = tiny_net_params
     net_p = UFMNet(
-        dataclasses.replace(
-            net.cfg, train_remat=True, train_remat_policy="dots_with_no_batch_dims_saveable"
-        )
+        dataclasses.replace(net.cfg, train_remat=True, train_remat_policy=policy)
     )
     img = jnp.zeros((2, 42, 56, 3))
     params_p = net_p.init(jax.random.PRNGKey(0), img, img)["params"]

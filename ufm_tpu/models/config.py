@@ -77,6 +77,10 @@ class UFMArchConfig:
     # Measured on the single-chip v5e flagship at batch 2 (B/A/B,
     # BENCH_NOTES.md round 3): dots_with_no_batch_dims_saveable fits HBM
     # with donation and is ~6.5% faster than full remat (359/364 vs 385 ms).
+    # Round 5: the "+attn_out" composite additionally saves the tagged
+    # flash-attention core outputs so the backward skips the attention
+    # forward recompute — a further 3-5% (B/A/B 275/283 vs 267 ms) for
+    # ~10 MB/layer bf16 at flagship training shapes.
     train_remat_policy: Optional[str] = None
 
     def to_dict(self) -> Dict[str, Any]:

@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from ufm_tpu.ops.attention import dot_product_attention
@@ -72,6 +74,10 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = dot_product_attention(q, k, v)
+        # Named for remat: the "+attn_out" composite policy saves this
+        # (the most expensive recompute in the block body — the flash
+        # forward would otherwise run twice per layer under remat).
+        out = jax.ad_checkpoint.checkpoint_name(out, "attn_out")
         out = out.reshape(b, s, c)
         return nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
 
@@ -133,6 +139,17 @@ def resolve_remat_policy(name: Optional[str]):
         return None
     import jax
 
+    # Explicit composite: weight-matmul outputs PLUS the named flash-
+    # attention core output (Attention.__call__ tags it "attn_out"), so the
+    # backward recomputes only cheap elementwise work — the flash forward
+    # does not run a second time per layer. Costs one (2B, S, D) activation
+    # per layer (~10 MB bf16 at flagship training shapes, ×36 layers).
+    if name == "dots_with_no_batch_dims_and_attn_out_saveable":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("attn_out"),
+        )
+
     # Only actual (prim, *args, **kwargs) predicate policies are allowed.
     # jax.checkpoint_policies also exposes policy *factories*
     # (save_only_these_names, save_from_both_policies, ...) which, passed
@@ -147,7 +164,10 @@ def resolve_remat_policy(name: Optional[str]):
         "checkpoint_dots_with_no_batch_dims",
     )
     if name not in allowed:
-        raise ValueError(f"unknown remat policy {name!r}; valid: {sorted(allowed)}")
+        raise ValueError(
+            f"unknown remat policy {name!r}; valid: "
+            f"{sorted(allowed + ('dots_with_no_batch_dims_and_attn_out_saveable',))}"
+        )
     return getattr(jax.checkpoint_policies, name)
 
 
